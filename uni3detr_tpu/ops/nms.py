@@ -1,0 +1,95 @@
+"""Batched-matrix 3D / rotated-BEV NMS and gaussian soft-NMS on device.
+
+The reference calls mmcv CUDA ``nms3d`` (uni3detr_head.py:861) and
+``nms_bev`` (merge_all_augs.py:70-83), plus a python-loop soft-NMS
+(uni3detr_head.py:796-823). Here the IoU matrix is computed once with the
+exact rotated-polygon kernel and suppression runs as a fixed-bound
+`lax.fori_loop` over score order — one XLA program, static shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.iou import iou3d_rotated, iou_bev_rotated
+
+
+def _greedy_suppress(iou, scores, valid, iou_thr):
+    """Greedy NMS given a precomputed IoU matrix.
+
+    Processes boxes in descending score order; a box is kept if no
+    higher-scoring kept box overlaps it above iou_thr. Returns keep (N,).
+    """
+    N = scores.shape[0]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+
+    def body(k, state):
+        alive, keep = state
+        i = order[k]
+        is_kept = alive[i] & valid[i]
+        keep = keep.at[i].set(is_kept)
+        suppress = is_kept & (iou[i] > iou_thr)
+        alive = alive & ~suppress
+        alive = alive.at[i].set(False)
+        return alive, keep
+
+    alive0 = jnp.ones((N,), bool)
+    keep0 = jnp.zeros((N,), bool)
+    _, keep = jax.lax.fori_loop(0, N, body, (alive0, keep0))
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("z_origin",))
+def nms3d(boxes, scores, valid, iou_thr, z_origin: str = "bottom"):
+    """Rotated 3D-IoU NMS. boxes (N, 7) storage layout (bottom z).
+
+    Matches mmcv ``nms3d`` (rotated BEV polygon x z-overlap IoU).
+    Returns keep mask (N,).
+    """
+    iou = iou3d_rotated(boxes, boxes, z_origin=z_origin)
+    return _greedy_suppress(iou, scores, valid, iou_thr)
+
+
+@jax.jit
+def nms_bev_rotated(boxes, scores, valid, iou_thr):
+    """Rotated BEV-IoU NMS (mmcv ``nms_bev`` equivalent). boxes (N, >=7)."""
+    iou = iou_bev_rotated(boxes, boxes)
+    return _greedy_suppress(iou, scores, valid, iou_thr)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "z_origin"))
+def soft_nms3d(boxes, scores, valid, gaussian_sigma=0.3,
+               prune_threshold=1e-3, max_out: int = 256,
+               z_origin: str = "bottom"):
+    """Gaussian soft-NMS (reference uni3detr_head.py:796-823).
+
+    Iteratively takes the argmax-score box, records it, and decays all
+    remaining scores by exp(-iou^2 / sigma); boxes whose decayed score
+    falls below prune_threshold are dropped. Returns (indices (max_out,),
+    new_scores (max_out,), out_valid (max_out,)).
+    """
+    iou = iou3d_rotated(boxes, boxes, z_origin=z_origin)
+    neg = -jnp.inf
+
+    def body(k, state):
+        live_scores, idxs, outs, nout = state
+        top = jnp.argmax(live_scores).astype(jnp.int32)
+        top_score = live_scores[top]
+        ok = top_score > prune_threshold
+        idxs = idxs.at[k].set(jnp.where(ok, top, -1))
+        outs = outs.at[k].set(jnp.where(ok, top_score, 0.0))
+        decay = jnp.exp(-(iou[top] ** 2) / gaussian_sigma)
+        live_scores = jnp.where(ok, live_scores * decay, live_scores)
+        live_scores = live_scores.at[top].set(
+            jnp.where(ok, neg, live_scores[top]))
+        nout = nout + ok.astype(jnp.int32)
+        return live_scores, idxs, outs, nout
+
+    live0 = jnp.where(valid, scores, neg)
+    idxs0 = jnp.full((max_out,), -1, jnp.int32)
+    outs0 = jnp.zeros((max_out,), scores.dtype)
+    live, idxs, outs, nout = jax.lax.fori_loop(
+        0, max_out, body, (live0, idxs0, outs0, jnp.int32(0)))
+    return idxs, outs, idxs >= 0
