@@ -1,0 +1,124 @@
+"""Sparse conv rulebook + gather-GEMM vs dense torch conv3d oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from uni3detr_tpu.ops.sparse_conv import (
+    subm_neighbor_idx, gather_conv, downsample_sites, strided_neighbor_idx,
+)
+
+GRID = (6, 8, 10)
+
+
+def _random_sites(rng, n, budget):
+    """n unique sites in GRID, returned sorted by linear id + padded."""
+    D, H, W = GRID
+    lin = rng.choice(D * H * W, size=n, replace=False)
+    lin = np.sort(lin)
+    coords = np.stack([lin // (H * W), (lin // W) % H, lin % W], -1)
+    pad = budget - n
+    coords = np.concatenate(
+        [coords, -np.ones((pad, 3), np.int64)]).astype(np.int32)
+    mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return coords, mask
+
+
+def _dense_from_sparse(feats, coords, mask):
+    dense = np.zeros(GRID + (feats.shape[-1],), np.float32)
+    for f, c, m in zip(feats, coords, mask):
+        if m:
+            dense[c[0], c[1], c[2]] = f
+    return dense
+
+
+def _torch_conv(dense, w, stride, padding):
+    import torch
+    import torch.nn.functional as F
+    x = torch.from_numpy(dense).permute(3, 0, 1, 2)[None]  # (1,C,D,H,W)
+    # w layout: (K, Cin, Cout) with K row-major (z,y,x)
+    K, Cin, Cout = w.shape
+    k = round(K ** (1 / 3))
+    wt = torch.from_numpy(
+        w.reshape(k, k, k, Cin, Cout)).permute(4, 3, 0, 1, 2)
+    out = F.conv3d(x, wt, stride=stride, padding=padding)
+    return out[0].permute(1, 2, 3, 0).numpy()  # (D', H', W', Cout)
+
+
+def test_subm_conv_matches_dense_at_active_sites():
+    rng = np.random.RandomState(0)
+    V = 64
+    coords, mask = _random_sites(rng, 40, V)
+    feats = rng.randn(V, 5).astype(np.float32) * mask[:, None]
+    w = rng.randn(27, 5, 7).astype(np.float32) * 0.2
+    idx = subm_neighbor_idx(jnp.asarray(coords), jnp.asarray(mask), GRID)
+    out = np.asarray(gather_conv(jnp.asarray(feats), idx, jnp.asarray(w)))
+    dense = _dense_from_sparse(feats, coords, mask)
+    ref = _torch_conv(dense, w, 1, 1)
+    for i in range(V):
+        if mask[i]:
+            np.testing.assert_allclose(
+                out[i], ref[coords[i, 0], coords[i, 1], coords[i, 2]],
+                rtol=1e-4, atol=1e-4)
+
+
+def _oracle_out_sites(coords, mask, padding, stride=2, kernel=3):
+    D, H, W = GRID
+    og = tuple((g + 2 * p - kernel) // stride + 1
+               for g, p in zip(GRID, padding))
+    sites = set()
+    for c, m in zip(coords, mask):
+        if not m:
+            continue
+        for oz in range(og[0]):
+            for oy in range(og[1]):
+                for ox in range(og[2]):
+                    o = (oz, oy, ox)
+                    if all(o[a] * stride - padding[a] <= c[a]
+                           <= o[a] * stride - padding[a] + kernel - 1
+                           for a in range(3)):
+                        sites.add(o)
+    return sites, og
+
+
+def test_downsample_sites_match_oracle():
+    rng = np.random.RandomState(1)
+    V = 64
+    coords, mask = _random_sites(rng, 30, V)
+    for padding in [(1, 1, 1), (0, 1, 1)]:
+        oc, om, og = downsample_sites(
+            jnp.asarray(coords), jnp.asarray(mask), GRID, padding, V)
+        oc, om = np.asarray(oc), np.asarray(om)
+        got = {tuple(oc[i]) for i in range(V) if om[i]}
+        oracle, og_ref = _oracle_out_sites(coords, mask, padding)
+        assert og == og_ref
+        assert got == oracle, (padding, got ^ oracle)
+
+
+def test_strided_conv_matches_dense():
+    rng = np.random.RandomState(2)
+    V = 64
+    coords, mask = _random_sites(rng, 30, V)
+    feats = rng.randn(V, 4).astype(np.float32) * mask[:, None]
+    w = rng.randn(27, 4, 6).astype(np.float32) * 0.2
+    padding = (0, 1, 1)
+    oc, om, og = downsample_sites(
+        jnp.asarray(coords), jnp.asarray(mask), GRID, padding, V)
+    idx = strided_neighbor_idx(oc, om, jnp.asarray(coords),
+                               jnp.asarray(mask), GRID, padding)
+    out = np.asarray(gather_conv(jnp.asarray(feats), idx, jnp.asarray(w)))
+    dense = _dense_from_sparse(feats, coords, mask)
+    ref = _torch_conv(dense, w, 2, padding)
+    oc_np, om_np = np.asarray(oc), np.asarray(om)
+    assert ref.shape[:3] == og
+    for i in range(V):
+        if om_np[i]:
+            np.testing.assert_allclose(
+                out[i], ref[oc_np[i, 0], oc_np[i, 1], oc_np[i, 2]],
+                rtol=1e-4, atol=1e-4)
+
+
+def test_downsample_budget_truncates():
+    rng = np.random.RandomState(3)
+    coords, mask = _random_sites(rng, 50, 64)
+    oc, om, og = downsample_sites(
+        jnp.asarray(coords), jnp.asarray(mask), GRID, (1, 1, 1), 8)
+    assert np.asarray(om).sum() <= 8
