@@ -1,0 +1,150 @@
+"""Set-matching losses for Uni3DETR, fully on device.
+
+Capability parity with the reference loss stack
+(uni3detr_head.py:510-793 + rdiouloss.py + hungarian_assigner_3d.py):
+
+- Hungarian costs: mmdet FocalLossCost (w=2), BBox3DL1Cost on the first 8
+  code dims (w=0.25), IoU3DCost = 1 - nearest-BEV IoU (w=1.2)
+  (hungarian_assigner_3d.py:110-121, match_cost.py:86-97);
+- per-group matching with optional GT column tiling (gt_repeattimes);
+- SoftFocalLoss classification with the IoU-aware quality target
+  iou3d_dec = (nearest_bev_iou + z_iou)/2 (uni3detr_head.py:671-676,
+  rdiouloss.py:162-184);
+- weighted L1 on the normalized code with code_weights
+  (uni3detr_head.py:684-687);
+- IoU loss = (1 - nearest-BEV-aligned IoU) + (1 - z-IoU) term
+  (rdiouloss.py:93-102, uni3detr_head.py:689-691);
+- IoU-prediction BCE against the detached exact rotated 3D IoU x 1.2
+  (uni3detr_head.py:694-696).
+
+Normalizers follow the reference's cross-rank ``reduce_mean`` semantics:
+under a sharded batch the sums here are global sums, and
+S_global / P_global equals the DDP-averaged sum of per-rank S_r / mean(P).
+All GT tensors are padded with validity masks; padded rows produce zero
+loss by construction.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.boxes import encode_boxes, decode_boxes
+from ..geom.iou import (
+    nearest_bev_iou, nearest_bev_iou_aligned, z_interval_iou_aligned,
+    iou3d_rotated_aligned,
+)
+from ..ops.matching import match_queries_to_gt
+from ..models.config import Uni3DETRConfig
+
+
+def focal_cls_cost(cls_logits, gt_labels, alpha=0.25, gamma=2.0, eps=1e-12):
+    """mmdet FocalLossCost: (Q, ncls) x (Gt,) -> (Q, Gt)."""
+    p = jax.nn.sigmoid(cls_logits)
+    neg = -jnp.log(1 - p + eps) * (1 - alpha) * p ** gamma
+    pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    return (pos - neg)[:, gt_labels]
+
+
+def soft_focal_loss(logits, labels, quality, num_classes,
+                    alpha=0.25, gamma=2.0):
+    """IoU-aware soft focal loss, elementwise sum over classes.
+
+    logits (N, ncls); labels (N,) with ``num_classes`` = background;
+    quality (N,) in [0, 1]. Returns per-row loss (N,).
+    """
+    p = jax.nn.sigmoid(logits)
+    onehot = jax.nn.one_hot(labels, num_classes + 1)[:, :num_classes]
+    t = onehot * quality[:, None]
+    pt = t - p
+    focal_w = ((1 - alpha) + (2 * alpha - 1) * t) * pt ** 2 if gamma == 2.0 \
+        else ((1 - alpha) + (2 * alpha - 1) * t) * jnp.abs(pt) ** gamma
+    bce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(bce * focal_w, axis=-1)
+
+
+def hungarian_assign(cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask,
+                     cfg: Uni3DETRConfig):
+    """Per-sample grouped assignment. Shapes: cls (Q, ncls),
+    bbox (Q, code), gt (Gt, 7|9) gravity-centered. Returns (Q,) int32."""
+    norm_gt = encode_boxes(gt_boxes)                # (Gt, 8|10)
+    decoded = decode_boxes(bbox_preds)              # (Q, 7|9)
+    cls_cost = focal_cls_cost(cls_scores, gt_labels) * cfg.cls_cost_weight
+    reg_cost = jnp.sum(
+        jnp.abs(bbox_preds[:, None, :8] - norm_gt[None, :, :8]),
+        axis=-1) * cfg.reg_cost_weight
+    iou_cost = (1.0 - nearest_bev_iou(decoded, gt_boxes)) \
+        * cfg.iou_cost_weight
+    cost = cls_cost + reg_cost + iou_cost
+    cost = jnp.where(jnp.isfinite(cost), cost, 1e4)
+    return match_queries_to_gt(cost, gt_mask, cfg.num_query,
+                               cfg.gt_repeattimes)
+
+
+def _layer_loss(cls_scores, bbox_preds, iou_preds, gt_boxes, gt_labels,
+                gt_mask, cfg: Uni3DETRConfig):
+    """Loss of one decoder layer over the batch. Shapes (B, Q, .)."""
+    B, Q, ncls = cls_scores.shape
+    assigned = jax.vmap(
+        lambda c, b, gb, gl, gm: hungarian_assign(c, b, gb, gl, gm, cfg))(
+            cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask)
+    pos = assigned >= 0                              # (B, Q)
+    safe = jnp.where(pos, assigned, 0)
+    labels = jnp.where(
+        pos, jnp.take_along_axis(gt_labels, safe, axis=1), cfg.num_classes)
+    tgt = jnp.take_along_axis(gt_boxes, safe[..., None], axis=1)
+    tgt = jnp.where(pos[..., None], tgt, 0.0)        # (B, Q, 7|9)
+
+    decoded = decode_boxes(bbox_preds)
+    iou_bev = nearest_bev_iou_aligned(decoded, tgt)
+    iou_z = z_interval_iou_aligned(decoded, tgt)
+    quality = (iou_bev + iou_z) * 0.5                # iou3d_dec
+
+    num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+
+    loss_cls = soft_focal_loss(
+        cls_scores.reshape(-1, ncls), labels.reshape(-1),
+        quality.reshape(-1), cfg.num_classes)
+    loss_cls = jnp.sum(loss_cls) / num_pos * cfg.loss_cls_weight
+
+    norm_tgt = encode_boxes(tgt)
+    cw = jnp.asarray(cfg.code_weights, jnp.float32)
+    l1 = jnp.abs(bbox_preds - norm_tgt) * cw * pos[..., None]
+    l1 = jnp.where(jnp.isfinite(l1), l1, 0.0)
+    loss_bbox = jnp.sum(l1) / num_pos * cfg.loss_bbox_weight
+
+    loss_iou = jnp.sum((1.0 - iou_bev) * pos) / num_pos \
+        * cfg.loss_iou_weight
+    loss_iou = loss_iou + jnp.sum((1.0 - iou_z) * pos) / num_pos
+
+    iou_true = jax.lax.stop_gradient(
+        iou3d_rotated_aligned(decoded, tgt, z_origin="bottom"))
+    bce = jnp.maximum(iou_preds, 0) - iou_preds * iou_true + jnp.log1p(
+        jnp.exp(-jnp.abs(iou_preds)))
+    loss_iou_pred = jnp.sum(bce * pos) / num_pos * 1.2
+
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
+            "loss_iou": loss_iou, "loss_iou_pred": loss_iou_pred}
+
+
+def uni3detr_loss(outs, gt_boxes, gt_labels, gt_mask, cfg: Uni3DETRConfig):
+    """Total loss over all decoder layers.
+
+    outs: head output dict; gt_boxes (B, Gt, 7|9) gravity-centered model
+    boxes; gt_labels (B, Gt); gt_mask (B, Gt).
+    Returns (total, dict of per-layer components 'd{i}.loss_*').
+    """
+    L = outs["all_cls_scores"].shape[0]
+    logs = {}
+    total = 0.0
+    for l in range(L):
+        d = _layer_loss(outs["all_cls_scores"][l], outs["all_bbox_preds"][l],
+                        outs["all_iou_preds"][l], gt_boxes, gt_labels,
+                        gt_mask, cfg)
+        prefix = "" if l == L - 1 else f"d{l}."
+        for k, v in d.items():
+            logs[prefix + k] = v
+            total = total + v
+    return total, logs
