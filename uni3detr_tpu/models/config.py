@@ -16,9 +16,13 @@ class Uni3DETRConfig:
     pc_range: Tuple[float, ...] = (-3.2, -0.2, -2.0, 3.2, 6.2, 0.56)
     voxel_size: Tuple[float, ...] = (0.02, 0.02, 0.02)
     grid_size: Tuple[int, int, int] = (128, 320, 320)  # (D, H, W)
-    # voxelization budgets (static shapes)
+    # voxelization budgets (static shapes); reference max_voxels is a
+    # (train, test) pair (uni3detr_sunrgbd.py:29)
     max_points_per_voxel: int = 5
     max_voxels: int = 16000
+    max_voxels_test: int = 40000
+    num_points: int = 100000  # PointSample cap -> host padding budget
+    max_gt: int = 48          # GT padding budget (per sample)
     dynamic_voxelization: bool = False
     in_point_features: int = 4
     # encoder

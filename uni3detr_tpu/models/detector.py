@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from ..ops.voxelize import hard_voxelize, dynamic_voxelize
 from ..ops.fps import farthest_point_sample
+from ..parallel.mesh import constrain, DATA_AXIS, SPATIAL_AXIS
 from .config import Uni3DETRConfig
 from .head import Uni3DETRHead
 from .second3d import SECOND3D, SECOND3DFPN
@@ -35,17 +36,18 @@ def _minmax_norm(pts):
 class Uni3DETR(nn.Module):
     cfg: Uni3DETRConfig
 
-    def voxelize(self, points, mask):
+    def voxelize(self, points, mask, train: bool):
         cfg = self.cfg
+        budget = cfg.max_voxels if train else cfg.max_voxels_test
         if cfg.dynamic_voxelization:
             return dynamic_voxelize(
                 points, mask, pc_range=tuple(cfg.pc_range),
                 voxel_size=tuple(cfg.voxel_size),
-                grid_size=tuple(cfg.grid_size), max_voxels=cfg.max_voxels)
+                grid_size=tuple(cfg.grid_size), max_voxels=budget)
         return hard_voxelize(
             points, mask, pc_range=tuple(cfg.pc_range),
             voxel_size=tuple(cfg.voxel_size), grid_size=tuple(cfg.grid_size),
-            max_points=cfg.max_points_per_voxel, max_voxels=cfg.max_voxels)
+            max_points=cfg.max_points_per_voxel, max_voxels=budget)
 
     @nn.compact
     def __call__(self, points, pts_mask, train: bool = False,
@@ -56,7 +58,7 @@ class Uni3DETR(nn.Module):
         """
         cfg = self.cfg
         dtype = cfg.jnp_compute_dtype
-        feats, coords, vmask = self.voxelize(points, pts_mask)
+        feats, coords, vmask = self.voxelize(points, pts_mask, train)
 
         volume, grid = SparseEncoderHD(
             sparse_shape=tuple(cfg.grid_size),
@@ -67,13 +69,19 @@ class Uni3DETR(nn.Module):
             compute_dtype=dtype,
             name="pts_middle_encoder")(feats, coords, vmask, train)
 
+        # dense path: batch over 'data', H axis over 'spatial' (XLA halo-
+        # exchanges the convs; no-op without an active mesh)
+        vol_spec = (DATA_AXIS, None, SPATIAL_AXIS, None, None)
+        volume = constrain(volume, vol_spec)
         ms = SECOND3D(out_channels=cfg.backbone_channels,
                       layer_nums=cfg.backbone_layers,
                       layer_strides=cfg.backbone_strides,
                       name="pts_backbone")(volume.astype(dtype), train)
+        ms = tuple(constrain(m, vol_spec) for m in ms)
         fused = SECOND3DFPN(out_channels=cfg.neck_channels,
                             upsample_strides=cfg.neck_upsample_strides,
                             name="pts_neck")(ms, train)
+        fused = constrain(fused, vol_spec)
 
         nq = cfg.num_query
         xyz = points[..., :3]

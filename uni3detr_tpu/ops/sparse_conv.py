@@ -74,14 +74,14 @@ def gather_conv(features, neighbor_idx, weights):
     features (V, Cin), neighbor_idx (V, K) with V = missing,
     weights (K, Cin, Cout) -> (V, Cout).
     """
-    V, Cin = features.shape
-    K = neighbor_idx.shape[1]
+    _, Cin = features.shape
+    Vout, K = neighbor_idx.shape
     padded = jnp.concatenate(
         [features, jnp.zeros((1, Cin), features.dtype)], axis=0)
-    gathered = padded[neighbor_idx]  # (V, K, Cin)
+    gathered = padded[neighbor_idx]  # (Vout, K, Cin)
     w = weights.reshape(K * Cin, -1).astype(features.dtype)
     return jax.lax.dot_general(
-        gathered.reshape(V, K * Cin), w,
+        gathered.reshape(Vout, K * Cin), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(features.dtype)
 

@@ -1,0 +1,93 @@
+"""Built-in model presets mirroring the reference experiment configs.
+
+Each preset reproduces the hyperparameters of one shipped config under
+``projects/configs/uni3detr/`` (cited per field group); the python-file
+config system (uni3detr_tpu.config) builds on top of these.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from .models.config import Uni3DETRConfig
+
+# uni3detr_sunrgbd.py:10-12,26-140,230-242
+SUNRGBD = Uni3DETRConfig(
+    num_classes=10, code_size=8,
+    pc_range=(-3.2, -0.2, -2.0, 3.2, 6.2, 0.56),
+    voxel_size=(0.02, 0.02, 0.02), grid_size=(128, 320, 320),
+    max_points_per_voxel=5, max_voxels=16000, max_voxels_test=40000,
+    num_points=100000, max_gt=64, in_point_features=4,
+    encoder_base_channels=16, encoder_out_channels=256,
+    encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128)),
+    encoder_downsample_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)),
+    num_query=300, num_decoder_layers=3,
+    post_center_range=(-3.2, -0.2, -2.0, 3.2, 6.2, 0.56),
+    max_num=1000, coder_alpha=1.0, post_processing="nms", nms_thr=0.5,
+    compute_dtype="bfloat16",
+)
+
+# uni3detr_scannet.py:9-12,60-113
+SCANNET = dataclasses.replace(
+    SUNRGBD,
+    num_classes=18,
+    pc_range=(-6.4, -6.4, -0.1, 6.4, 6.4, 2.46),
+    grid_size=(128, 640, 640),
+    max_num=5000,
+    post_center_range=(-6.4, -6.4, -0.1, 6.4, 6.4, 2.46),
+)
+
+# uni3detr_scannet_large.py diff: dynamic voxelization, base 32 / out 512
+SCANNET_LARGE = dataclasses.replace(
+    SCANNET,
+    dynamic_voxelization=True,
+    max_voxels=60000, max_voxels_test=120000,  # static budget for dynamic
+    encoder_base_channels=32, encoder_out_channels=512,
+    encoder_channels=((32, 32, 64), (64, 64, 128), (128, 128, 256),
+                      (256, 256)),
+    in_point_features=4,
+)
+
+# uni3detr_kitti_car.py:10-11,26-116,147-155,285-291
+KITTI_CAR = Uni3DETRConfig(
+    num_classes=1, code_size=8,
+    pc_range=(0.0, -40.0, -3.0, 70.4, 40.0, 1.0),
+    voxel_size=(0.05, 0.05, 0.1), grid_size=(41, 1600, 1408),
+    max_points_per_voxel=5, max_voxels=16000, max_voxels_test=40000,
+    num_points=18000, max_gt=50, in_point_features=4,
+    num_query=300, num_decoder_layers=9, gt_repeattimes=5,
+    post_center_range=(0.0, -40.0, -3.0, 70.4, 40.0, 1.0),
+    max_num=150, coder_alpha=0.2, post_processing="box_merging",
+    score_thr=0.5,
+    compute_dtype="bfloat16",
+)
+
+# uni3detr_kitti_3classes.py: 3 classes, per-class score thresholds
+KITTI_3CLASSES = dataclasses.replace(
+    KITTI_CAR,
+    num_classes=3,
+    score_thr=(0.0, 0.3, 0.65),
+)
+
+# uni3detr_nuscenes.py:13-19,31-130,265-317 (10-dim code with velocity)
+NUSCENES = Uni3DETRConfig(
+    num_classes=10, code_size=10,
+    pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+    voxel_size=(0.075, 0.075, 0.2), grid_size=(41, 1440, 1440),
+    max_points_per_voxel=10, max_voxels=90000, max_voxels_test=120000,
+    num_points=300000, max_gt=90, in_point_features=5,
+    num_query=900, num_decoder_layers=3,
+    code_weights=(1.0,) * 10,
+    post_center_range=(-61.2, -61.2, -10.0, 61.2, 61.2, 10.0),
+    max_num=900, coder_alpha=1.0, post_processing="nms", nms_thr=0.2,
+    num_thr=500,
+    compute_dtype="bfloat16",
+)
+
+PRESETS = {
+    "uni3detr_sunrgbd": SUNRGBD,
+    "uni3detr_scannet": SCANNET,
+    "uni3detr_scannet_large": SCANNET_LARGE,
+    "uni3detr_kitti_car": KITTI_CAR,
+    "uni3detr_kitti_3classes": KITTI_3CLASSES,
+    "uni3detr_nuscenes": NUSCENES,
+}
