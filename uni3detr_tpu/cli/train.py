@@ -1,0 +1,156 @@
+"""Training CLI: ``python -m uni3detr_tpu.cli.train CONFIG [options]``.
+
+Mirrors the reference workflow (extra_tools/train.py + dist_train.sh):
+config file + dotted --cfg-options overrides, work_dir checkpoints per
+epoch, periodic logging. Multi-chip runs use one process over all local
+devices with GSPMD (no torch.distributed.launch equivalent needed).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a uni3detr_tpu model")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap total steps (smoke runs)")
+    p.add_argument("--spatial-shard", type=int, default=1,
+                   help="mesh size along the spatial axis")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def batch_iterator(dataset, batch_size, cfg_model, rng, pool):
+    """Shuffled epoch iterator with threaded sample loading."""
+    order = rng.permutation(len(dataset))
+    from ..data.datasets import collate_batch
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        idxs = order[i:i + batch_size]
+        samples = list(pool.map(dataset.__getitem__, idxs))
+        batch, metas = collate_batch(
+            samples, cfg_model.num_points, cfg_model.max_gt,
+            cfg_model.in_point_features, cfg_model.code_size)
+        yield batch, metas
+
+
+def main():
+    args = parse_args()
+    import jax
+    jax.config.update("jax_enable_compilation_cache", False)  # axon perf
+    from ..config import load_config, merge_cfg_options, build_model_config
+    from ..data.datasets import build_dataset
+    from ..parallel.mesh import make_mesh, shard_batch, replicate, \
+        set_active_mesh
+    from ..train.step import (create_train_state, make_train_step,
+                              make_optimizer, step_lr_schedule,
+                              cyclic_lr_schedule)
+    from ..train.checkpoint import save_checkpoint, load_checkpoint, \
+        restore_state
+
+    cfg = load_config(args.config)
+    cfg = merge_cfg_options(cfg, args.cfg_options)
+    model_cfg = build_model_config(cfg)
+    work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(message)s",
+        handlers=[logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(work_dir, "train.log"))])
+    log = logging.getLogger("train")
+    log.info("config: %s", args.config)
+    log.info("devices: %s", jax.devices())
+
+    seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+    rng = np.random.RandomState(seed)
+
+    dataset = build_dataset(cfg.data, cfg.class_names, model_cfg.pc_range,
+                            "train")
+    bs = cfg.data.get("samples_per_gpu", 2) * max(
+        1, len(jax.devices()) // args.spatial_shard)
+    steps_per_epoch = max(len(dataset) // bs, 1)
+    epochs = cfg.get("total_epochs", 40)
+
+    opt = cfg.get("optimizer", {})
+    lr_cfg = cfg.get("lr_config", {"policy": "step", "step": [1 << 30]})
+    if lr_cfg.get("policy") == "cyclic":
+        sched = cyclic_lr_schedule(
+            opt.get("lr", 1e-4), steps_per_epoch * epochs,
+            tuple(lr_cfg.get("target_ratio", (10, 1e-4))),
+            lr_cfg.get("step_ratio_up", 0.4))
+    else:
+        sched = step_lr_schedule(opt.get("lr", 1e-4), steps_per_epoch,
+                                 lr_cfg.get("step", []))
+    tx = make_optimizer(sched, opt.get("weight_decay", 0.01),
+                        opt.get("clip_norm", 10.0))
+
+    mesh = make_mesh(spatial=args.spatial_shard)
+    set_active_mesh(mesh if len(jax.devices()) > 1 else None)
+
+    pool = ThreadPoolExecutor(max_workers=cfg.data.get(
+        "workers_per_gpu", 4))
+    first_batch, _ = next(batch_iterator(dataset, bs, model_cfg, rng, pool))
+    state = create_train_state(model_cfg, jax.random.PRNGKey(seed),
+                               first_batch, tx)
+    if len(jax.devices()) > 1:
+        state = state.replace(params=replicate(state.params, mesh),
+                              batch_stats=replicate(state.batch_stats, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
+
+    start_epoch = 0
+    resume = args.resume_from or cfg.get("resume_from")
+    if resume:
+        tree, meta = load_checkpoint(resume, target_state=state)
+        state = restore_state(state, tree)
+        start_epoch = (meta or {}).get("epoch", 0)
+        log.info("resumed from %s at epoch %d", resume, start_epoch)
+
+    step_fn = make_train_step(model_cfg)
+    key = jax.random.PRNGKey(seed + 1)
+    log_int = cfg.get("log_config", {}).get("interval", 50)
+    ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 1)
+    gstep = int(state.step)
+    t_last = time.time()
+    for epoch in range(start_epoch, epochs):
+        for batch, _ in batch_iterator(dataset, bs, model_cfg, rng, pool):
+            if len(jax.devices()) > 1:
+                batch = shard_batch(batch, mesh)
+            key, k = jax.random.split(key)
+            state, logs = step_fn(state, batch, k)
+            gstep += 1
+            if gstep % log_int == 0:
+                logs = {k2: float(v) for k2, v in logs.items()}
+                dt = time.time() - t_last
+                t_last = time.time()
+                log.info("epoch %d step %d | %.2f it/s | total %.4f "
+                         "cls %.4f bbox %.4f iou %.4f ioup %.4f gnorm %.2f",
+                         epoch, gstep, log_int / max(dt, 1e-9),
+                         logs["total_loss"], logs["loss_cls"],
+                         logs["loss_bbox"], logs["loss_iou"],
+                         logs["loss_iou_pred"], logs["grad_norm"])
+            if args.max_steps and gstep >= args.max_steps:
+                save_checkpoint(os.path.join(work_dir, "latest"), state,
+                                {"epoch": epoch, "step": gstep})
+                log.info("max steps reached; checkpoint saved")
+                return
+        if (epoch + 1) % ckpt_int == 0:
+            save_checkpoint(os.path.join(work_dir, f"epoch_{epoch+1}"),
+                            state, {"epoch": epoch + 1, "step": gstep})
+            save_checkpoint(os.path.join(work_dir, "latest"), state,
+                            {"epoch": epoch + 1, "step": gstep})
+            log.info("checkpoint saved at epoch %d", epoch + 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,396 @@
+"""Host-side (numpy) data pipeline transforms.
+
+Capability parity with the reference pipeline set (SURVEY.md §3.4,
+transform_3d.py / loading_3d.py / mmdet3d builtins):
+RandomFlip3D / UnifiedRandomFlip3D, GlobalRotScaleTrans /
+UnifiedRotScaleTrans (with accumulated ``uni_rot_aug`` for the
+camera-alignment inverse, transform_3d.py:466-470,575-579),
+Points/Object RangeFilter, PointShuffle, PointSample, GlobalAlignment,
+ObjectNoise, ObjectSample (GT-database paste), LoadPointsFromMultiSweeps.
+
+Samples are plain dicts:
+  points (P, C) float32 — xyz first; gt_boxes (G, 7|9) storage layout
+  (bottom-z); gt_labels (G,) int32; uni_rot_aug (3, 3); meta dict.
+Every transform takes (sample, rng: np.random.Generator) and mutates the
+dict. The box-yaw flip/rotation conventions follow mmdet3d >= 1.0.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import numpy as np
+
+from . import box_np_ops
+
+TRANSFORMS: Dict[str, Callable] = {}
+
+
+def register(name):
+    def deco(cls):
+        TRANSFORMS[name] = cls
+        return cls
+    return deco
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, sample, rng):
+        for t in self.transforms:
+            sample = t(sample, rng)
+            if sample is None:
+                return None
+        return sample
+
+
+def build_pipeline(cfgs: Sequence[dict], ctx: dict) -> Compose:
+    """cfgs: list of dict(type=..., **kwargs); ctx supplies dataset-level
+    values (pc_range, class_names, data_root, box_type)."""
+    out = []
+    for c in cfgs:
+        c = dict(c)
+        t = c.pop("type")
+        out.append(TRANSFORMS[t](ctx=ctx, **c))
+    return Compose(out)
+
+
+def _rot_z(points, angle):
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    return points @ rot.T, rot
+
+
+@register("RandomFlip3D")
+@register("UnifiedRandomFlip3D")
+class RandomFlip3D:
+    """BEV flips. For Depth boxes horizontal flips x (yaw -> pi - yaw);
+    for LiDAR boxes horizontal flips y (yaw -> -yaw); vertical is the
+    other axis. Accumulates uni_rot_aug (transform_3d.py:575-579)."""
+
+    def __init__(self, ctx, flip_ratio_bev_horizontal=0.0,
+                 flip_ratio_bev_vertical=0.0):
+        self.ph = flip_ratio_bev_horizontal
+        self.pv = flip_ratio_bev_vertical
+        self.box_type = ctx.get("box_type", "Depth")
+
+    def _flip_axis(self, sample, axis):
+        pts = sample["points"]
+        pts[:, axis] = -pts[:, axis]
+        boxes = sample.get("gt_boxes")
+        if boxes is not None and len(boxes):
+            boxes[:, axis] = -boxes[:, axis]
+            if axis == 0:
+                boxes[:, 6] = np.pi - boxes[:, 6]
+            else:
+                boxes[:, 6] = -boxes[:, 6]
+            if boxes.shape[1] > 7:
+                boxes[:, 7 + axis] = -boxes[:, 7 + axis]
+        refl = np.eye(3, dtype=np.float32)
+        refl[axis, axis] = -1
+        sample["uni_rot_aug"] = refl @ sample.get(
+            "uni_rot_aug", np.eye(3, dtype=np.float32))
+
+    def __call__(self, sample, rng):
+        h_axis = 0 if self.box_type == "Depth" else 1
+        if rng.random() < self.ph:
+            self._flip_axis(sample, h_axis)
+        if rng.random() < self.pv:
+            self._flip_axis(sample, 1 - h_axis)
+        return sample
+
+
+@register("GlobalRotScaleTrans")
+@register("UnifiedRotScaleTrans")
+class GlobalRotScaleTrans:
+    """Rotate around z, isotropic scale, optional translation; box yaw +=
+    angle, velocities rotate, shift-height feature scales
+    (transform_3d.py:325-482 semantics)."""
+
+    def __init__(self, ctx, rot_range=(-0.78539816, 0.78539816),
+                 scale_ratio_range=(0.95, 1.05), translation_std=(0, 0, 0),
+                 shift_height=False):
+        self.rot_range = rot_range
+        self.scale_range = scale_ratio_range
+        self.tstd = np.asarray(translation_std, np.float32)
+        self.shift_height = shift_height
+
+    def __call__(self, sample, rng):
+        angle = rng.uniform(*self.rot_range)
+        scale = rng.uniform(*self.scale_range)
+        trans = rng.standard_normal(3).astype(np.float32) * self.tstd
+
+        pts = sample["points"]
+        xyz, rot = _rot_z(pts[:, :3], angle)
+        pts[:, :3] = xyz * scale + trans
+        if self.shift_height and pts.shape[1] > 3:
+            pts[:, 3] *= scale
+        sample["points"] = pts
+
+        boxes = sample.get("gt_boxes")
+        if boxes is not None and len(boxes):
+            boxes[:, :3] = boxes[:, :3] @ rot.T * scale + trans
+            boxes[:, 3:6] *= scale
+            boxes[:, 6] += angle
+            if boxes.shape[1] > 7:
+                boxes[:, 7:9] = boxes[:, 7:9] @ rot[:2, :2].T * scale
+        sample["uni_rot_aug"] = rot @ sample.get(
+            "uni_rot_aug", np.eye(3, dtype=np.float32))
+        sample.setdefault("meta", {})["pcd_scale_factor"] = scale
+        return sample
+
+
+@register("GlobalAlignment")
+class GlobalAlignment:
+    """Apply the scan's axis_align_matrix (ScanNet)."""
+
+    def __init__(self, ctx, rotation_axis=2):
+        self.rotation_axis = rotation_axis
+
+    def __call__(self, sample, rng):
+        mat = sample.get("meta", {}).get("axis_align_matrix")
+        if mat is None:
+            return sample
+        pts = sample["points"]
+        xyz1 = np.concatenate(
+            [pts[:, :3], np.ones((len(pts), 1), np.float32)], 1)
+        pts[:, :3] = (xyz1 @ mat.T)[:, :3]
+        return sample
+
+
+@register("PointsRangeFilter")
+class PointsRangeFilter:
+    def __init__(self, ctx, point_cloud_range=None):
+        self.rng_ = np.asarray(point_cloud_range or ctx["pc_range"],
+                               np.float32)
+
+    def __call__(self, sample, rng):
+        pts = sample["points"]
+        m = np.all(pts[:, :3] >= self.rng_[:3], -1) \
+            & np.all(pts[:, :3] <= self.rng_[3:6], -1)
+        sample["points"] = pts[m]
+        return sample
+
+
+@register("ObjectRangeFilter")
+class ObjectRangeFilter:
+    def __init__(self, ctx, point_cloud_range=None):
+        self.rng_ = np.asarray(point_cloud_range or ctx["pc_range"],
+                               np.float32)
+
+    def __call__(self, sample, rng):
+        boxes = sample.get("gt_boxes")
+        if boxes is None or not len(boxes):
+            return sample
+        m = np.all(boxes[:, :2] >= self.rng_[:2], -1) \
+            & np.all(boxes[:, :2] <= self.rng_[3:5], -1)
+        sample["gt_boxes"] = boxes[m]
+        sample["gt_labels"] = sample["gt_labels"][m]
+        sample["gt_boxes"][:, 6] = box_np_ops.limit_period(
+            sample["gt_boxes"][:, 6], 0.5, 2 * np.pi)
+        return sample
+
+
+@register("PointShuffle")
+class PointShuffle:
+    def __init__(self, ctx):
+        pass
+
+    def __call__(self, sample, rng):
+        sample["points"] = sample["points"][
+            rng.permutation(len(sample["points"]))]
+        return sample
+
+
+@register("PointSample")
+class PointSample:
+    def __init__(self, ctx, num_points):
+        self.n = num_points
+
+    def __call__(self, sample, rng):
+        pts = sample["points"]
+        if len(pts) > self.n:
+            idx = rng.choice(len(pts), self.n, replace=False)
+            sample["points"] = pts[idx]
+        return sample
+
+
+@register("ObjectNoise")
+class ObjectNoise:
+    """Per-GT-box random perturbation with BEV collision rejection
+    (mmdet3d ObjectNoise role; KITTI configs)."""
+
+    def __init__(self, ctx, num_try=100, translation_std=(1.0, 1.0, 0.5),
+                 global_rot_range=(0.0, 0.0),
+                 rot_range=(-0.785398, 0.785398)):
+        self.num_try = num_try
+        self.tstd = np.asarray(translation_std, np.float32)
+        self.rot_range = rot_range
+
+    def __call__(self, sample, rng):
+        boxes = sample.get("gt_boxes")
+        if boxes is None or not len(boxes):
+            return sample
+        pts = sample["points"]
+        in_box = box_np_ops.points_in_rbbox(pts[:, :3], boxes[:, :7])
+        for i in range(len(boxes)):
+            for _ in range(self.num_try):
+                t = rng.standard_normal(3).astype(np.float32) * self.tstd
+                a = rng.uniform(*self.rot_range)
+                nb = boxes[i].copy()
+                nb[:3] += t
+                nb[6] += a
+                others = np.delete(boxes, i, axis=0)
+                if not box_np_ops.box_collision_test(
+                        nb[None, :7], others[:, :7]).any():
+                    m = in_box[:, i]
+                    ctr = boxes[i, :3].copy()
+                    ctr[2] += boxes[i, 5] / 2
+                    local = pts[m, :3] - ctr
+                    c, s = np.cos(a), np.sin(a)
+                    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                                   np.float32)
+                    pts[m, :3] = local @ rot.T + ctr + t
+                    boxes[i] = nb
+                    break
+        sample["points"] = pts
+        sample["gt_boxes"] = boxes
+        return sample
+
+
+@register("LoadPointsFromMultiSweeps")
+class LoadPointsFromMultiSweeps:
+    """Append up to sweeps_num previous lidar sweeps with a time-lag
+    channel (nuScenes; reference nuscenes info schema,
+    data_converter/nuscenes_converter.py:218-231)."""
+
+    def __init__(self, ctx, sweeps_num=10, load_dim=5, use_dim=(0, 1, 2, 3),
+                 pad_empty_sweeps=True, remove_close=1.0):
+        self.sweeps_num = sweeps_num
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim)
+        self.pad_empty_sweeps = pad_empty_sweeps
+        self.remove_close = remove_close
+
+    def _load(self, path):
+        return np.fromfile(path, np.float32).reshape(-1, self.load_dim)
+
+    def __call__(self, sample, rng):
+        pts = sample["points"]
+        # base sample gets time-lag 0
+        base = np.concatenate(
+            [pts, np.zeros((len(pts), 1), np.float32)], 1)
+        sweeps = sample.get("meta", {}).get("sweeps", [])
+        out = [base]
+        if not sweeps and self.pad_empty_sweeps:
+            for _ in range(self.sweeps_num):
+                m = np.linalg.norm(base[:, :2], axis=1) > self.remove_close
+                out.append(base[m])
+        else:
+            chosen = sweeps[:self.sweeps_num] if len(sweeps) \
+                <= self.sweeps_num else [
+                    sweeps[i] for i in rng.choice(len(sweeps),
+                                                  self.sweeps_num,
+                                                  replace=False)]
+            for sw in chosen:
+                p = self._load(sw["data_path"])[:, self.use_dim]
+                m = np.linalg.norm(p[:, :2], axis=1) > self.remove_close
+                p = p[m]
+                r = np.asarray(sw["sensor2lidar_rotation"], np.float32)
+                t = np.asarray(sw["sensor2lidar_translation"], np.float32)
+                p[:, :3] = p[:, :3] @ r.T + t
+                lag = sample["meta"].get("timestamp", 0) \
+                    - sw.get("timestamp", 0)
+                ts = np.full((len(p), 1), lag * 1e-6, np.float32)
+                out.append(np.concatenate([p, ts], 1))
+        sample["points"] = np.concatenate(out)
+        return sample
+
+
+@register("ObjectSample")
+class ObjectSample:
+    """GT-database copy-paste augmentation (reference
+    UnifiedDataBaseSampler, dbsampler.py:17-270): class quotas, min-points
+    filter, BEV collision rejection against existing + already-sampled
+    boxes, background points inside pasted boxes removed."""
+
+    def __init__(self, ctx, db_info_path, rate=1.0, sample_groups=None,
+                 min_points=None, difficulty=(-1,)):
+        import pickle
+        import os
+        self.classes = list(ctx["class_names"])
+        path = os.path.join(ctx.get("data_root", ""), db_info_path)
+        self.db = None
+        self.db_path = path
+        self.rate = rate
+        self.groups = sample_groups or {}
+        self.min_points = min_points or {}
+        self.difficulty = set(difficulty)
+        self.data_root = ctx.get("data_root", "")
+
+    def _lazy_load(self):
+        import pickle
+        if self.db is None:
+            with open(self.db_path, "rb") as f:
+                db = pickle.load(f)
+            self.db = {}
+            for cls, infos in db.items():
+                keep = [i for i in infos
+                        if i.get("num_points_in_gt", 1e9)
+                        >= self.min_points.get(cls, 0)
+                        and (i.get("difficulty", -1) in self.difficulty
+                             or -1 in self.difficulty)]
+                self.db[cls] = keep
+
+    def __call__(self, sample, rng):
+        self._lazy_load()
+        import os
+        boxes = sample.get("gt_boxes")
+        labels = sample.get("gt_labels")
+        if boxes is None:
+            return sample
+        new_boxes, new_labels, new_points = [], [], []
+        avoid = boxes[:, :7].copy()
+        for cls, quota in self.groups.items():
+            if cls not in self.classes or not self.db.get(cls):
+                continue
+            cls_id = self.classes.index(cls)
+            need = int((quota - (labels == cls_id).sum()) * self.rate)
+            if need <= 0:
+                continue
+            cand = rng.choice(len(self.db[cls]), min(need * 2,
+                                                     len(self.db[cls])),
+                              replace=False)
+            taken = 0
+            for ci in cand:
+                if taken >= need:
+                    break
+                info = self.db[cls][ci]
+                b = np.asarray(info["box3d_lidar"], np.float32)[None]
+                if box_np_ops.box_collision_test(b[:, :7],
+                                                 avoid).any():
+                    continue
+                p = np.fromfile(
+                    os.path.join(self.data_root, info["path"]),
+                    np.float32).reshape(-1, sample["points"].shape[1])
+                p[:, :3] += b[0, :3]
+                new_boxes.append(b[0])
+                new_labels.append(cls_id)
+                new_points.append(p)
+                avoid = np.concatenate([avoid, b[:, :7]])
+                taken += 1
+        if new_boxes:
+            nb = np.stack(new_boxes)
+            # drop background points inside pasted boxes
+            pts = sample["points"]
+            inside = box_np_ops.points_in_rbbox(pts[:, :3],
+                                                nb[:, :7]).any(-1)
+            pts = pts[~inside]
+            if boxes.shape[1] > 7:
+                pad = np.zeros((len(nb), boxes.shape[1] - 7), np.float32)
+                nb = np.concatenate([nb[:, :7], pad], 1)
+            sample["points"] = np.concatenate([pts] + new_points)
+            sample["gt_boxes"] = np.concatenate([boxes, nb])
+            sample["gt_labels"] = np.concatenate(
+                [labels, np.asarray(new_labels, labels.dtype)])
+        return sample

@@ -83,8 +83,26 @@ NUSCENES = Uni3DETRConfig(
     compute_dtype="bfloat16",
 )
 
+# tiny model for smoke tests / CI (not a reference config)
+TINY_SYNTHETIC = Uni3DETRConfig(
+    num_classes=3, code_size=8,
+    pc_range=(-2.0, -2.0, -1.0, 2.0, 2.0, 1.0),
+    voxel_size=(0.125, 0.125, 0.25), grid_size=(8, 32, 32),
+    max_points_per_voxel=4, max_voxels=256, max_voxels_test=256,
+    num_points=2048, max_gt=8, in_point_features=3,
+    encoder_base_channels=8, encoder_out_channels=32,
+    encoder_channels=((8, 8, 8), (8, 8, 16), (16, 16, 16), (16, 16)),
+    encoder_downsample_paddings=((1, 1, 1), (1, 1, 1), (1, 1, 1)),
+    backbone_channels=(16, 16, 16), backbone_layers=(1, 1, 1),
+    neck_channels=(32, 32, 32),
+    num_query=16, embed_dim=32, num_decoder_layers=2, num_heads=4,
+    ffn_dim=64, max_num=32,
+    post_center_range=(-2.0, -2.0, -1.0, 2.0, 2.0, 1.0),
+)
+
 PRESETS = {
     "uni3detr_sunrgbd": SUNRGBD,
+    "uni3detr_tiny_synthetic": TINY_SYNTHETIC,
     "uni3detr_scannet": SCANNET,
     "uni3detr_scannet_large": SCANNET_LARGE,
     "uni3detr_kitti_car": KITTI_CAR,
