@@ -18,20 +18,46 @@ from uni3detr_tpu.data.eval.indoor_eval import indoor_eval
 
 
 ALL_CONFIGS = [
-    "uni3detr_sunrgbd", "uni3detr_scannet", "uni3detr_scannet_large",
-    "uni3detr_kitti_car", "uni3detr_kitti_3classes", "uni3detr_nuscenes",
-    "uni3detr_synthetic_tiny",
+    "uni3detr/uni3detr_sunrgbd", "uni3detr/uni3detr_scannet",
+    "uni3detr/uni3detr_scannet_large", "uni3detr/uni3detr_kitti_car",
+    "uni3detr/uni3detr_kitti_3classes", "uni3detr/uni3detr_nuscenes",
+    "uni3detr/uni3detr_synthetic_tiny",
+    "ov_uni3detr/ov_uni3detr_sunrgbd_pc",
+    "ov_uni3detr/ov_uni3detr_sunrgbd_rgb",
+    "ov_uni3detr/ov_uni3detr_sunrgbd_mm",
 ]
 
 
 @pytest.mark.parametrize("name", ALL_CONFIGS)
 def test_all_configs_load_and_build(name):
-    cfg = load_config(str(REPO / "configs" / "uni3detr" / f"{name}.py"))
+    cfg = load_config(str(REPO / "configs" / f"{name}.py"))
     mc = build_model_config(cfg)
     assert mc.num_classes == len(cfg.class_names)
     assert "train_pipeline" in cfg.data
     # base merged in
     assert cfg.checkpoint_config["interval"] == 1
+    if name.startswith("ov_"):
+        from uni3detr_tpu.models.config import OVUni3DETRConfig
+        assert isinstance(mc, OVUni3DETRConfig)
+        assert len(cfg.seen_classes) == 10
+
+
+def test_ov_train_step_runs():
+    """Full OV multimodal train step through the generic step factory."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from uni3detr_tpu.train.step import (create_train_state,
+                                         make_train_step, make_optimizer)
+    from test_ov import OV_TINY, _ov_batch
+    batch, gt = _ov_batch()
+    batch = {**batch, **gt}
+    tx = make_optimizer(1e-3)
+    state = create_train_state(OV_TINY, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(OV_TINY, donate=False)
+    state, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["total_loss"]))
+    assert "loss_consistency" in logs
 
 
 def test_base_inheritance_and_overrides():

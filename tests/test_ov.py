@@ -1,0 +1,128 @@
+"""OV-Uni3DETR multimodal tests: forward shapes, camera-only mode,
+uncertainty loss, view transformer geometry."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uni3detr_tpu.models.config import OVUni3DETRConfig
+from uni3detr_tpu.models.ov_detector import OV_Uni3DETR
+from uni3detr_tpu.train.losses import uni3detr_loss
+from uni3detr_tpu.geom.boxes import gravity_center_boxes
+from tiny import TINY, synth_scene, pad_batch
+
+OV_TINY = OVUni3DETRConfig(
+    **{f.name: getattr(TINY, f.name)
+       for f in dataclasses.fields(TINY)},
+    num_cams=1, img_size=(32, 32), depth_dim=8, num_view_convs=1,
+    fpn_levels=2, stage_with_dcn=(False, False, True, True),
+    clip_dim=16, multimodal=True,
+)
+
+
+def _ov_batch(B=1, with_img=True, with_pts=True):
+    rng = np.random.RandomState(0)
+    pts, pmask, boxes, labels, gmask = pad_batch(
+        [synth_scene(rng) for _ in range(B)])
+    batch = {}
+    if with_pts:
+        batch["points"] = jnp.asarray(pts)
+        batch["pts_mask"] = jnp.asarray(pmask)
+    if with_img:
+        batch["images"] = jnp.asarray(
+            rng.rand(B, 1, 32, 32, 3).astype(np.float32))
+        # simple pinhole at origin looking +y (depth axis = y)
+        K = np.array([[20.0, 0, 16, 0], [0, 20.0, 16, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+        # lidar->cam: x_cam = x, y_cam = -z, z_cam = y
+        T = np.array([[1, 0, 0, 0], [0, 0, -1, 0],
+                      [0, 1, 0, 2.5], [0, 0, 0, 1]], np.float32)
+        l2i = (K @ T)[None, None].repeat(B, 0)
+        batch["lidar2img"] = jnp.asarray(l2i)
+        batch["uni_rot_aug"] = jnp.asarray(
+            np.eye(3, dtype=np.float32)[None].repeat(B, 0))
+    gt = {"gt_boxes": jnp.asarray(boxes), "gt_labels": jnp.asarray(labels),
+          "gt_mask": jnp.asarray(gmask)}
+    return batch, gt
+
+
+def _init_and_apply(cfg, batch, train, B):
+    model = OV_Uni3DETR(cfg)
+    rp = jnp.full((B, cfg.num_query, 3), 0.5)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "modality": jax.random.PRNGKey(1)},
+        batch, train=False, random_points=rp)
+    if train:
+        out, _ = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2),
+                  "modality": jax.random.PRNGKey(3)})
+    else:
+        out = model.apply(variables, batch, train=False, random_points=rp)
+    return out
+
+
+def test_ov_multimodal_forward_and_loss():
+    batch, gt = _ov_batch()
+    out = _init_and_apply(OV_TINY, batch, train=True, B=1)
+    L, nq, ncls = (OV_TINY.num_decoder_layers, OV_TINY.num_query,
+                   OV_TINY.num_classes)
+    assert out["all_cls_scores"].shape == (L, 1, 3 * nq, ncls)
+    assert out["all_uncertainty_preds"].shape == (L, 1, 3 * nq, ncls + 1)
+    total, logs = uni3detr_loss(
+        out, gravity_center_boxes(gt["gt_boxes"]), gt["gt_labels"],
+        gt["gt_mask"], OV_TINY)
+    assert np.isfinite(float(total))
+    assert "loss_consistency" in logs
+
+
+def test_ov_camera_only_single_group():
+    cfg = dataclasses.replace(OV_TINY, use_lidar=False, multimodal=False)
+    batch, _ = _ov_batch(with_pts=False)
+    out = _init_and_apply(cfg, batch, train=False, B=1)
+    L, nq = cfg.num_decoder_layers, cfg.num_query
+    # camera-only: 1 learnable group only (reference
+    # uni3detr_head_clip.py:473-477)
+    assert out["all_cls_scores"].shape[2] == nq
+
+
+def test_ov_lidar_only():
+    cfg = dataclasses.replace(OV_TINY, use_camera=False, multimodal=False)
+    batch, _ = _ov_batch(with_img=False)
+    out = _init_and_apply(cfg, batch, train=False, B=1)
+    assert out["all_cls_scores"].shape[2] == 4 * cfg.num_query
+
+
+def test_view_trans_projects_center():
+    """A voxel at the camera's optical axis must sample the image center
+    with high depth-bin weight."""
+    from uni3detr_tpu.models.view_trans import sample_camera_features
+    B, N, H, W, C, DD = 1, 1, 8, 8, 4, 4
+    feat = np.zeros((B, N, H, W, C), np.float32)
+    feat[0, 0, 4, 4, :] = 1.0  # center pixel
+    depth = np.ones((B, N, H, W, DD), np.float32) / DD
+    K = np.array([[8.0, 0, 4, 0], [0, 8.0, 4, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    l2i = jnp.asarray(K[None, None])
+    # voxel on the optical axis at depth 2 (projects to u=v=4.0, the
+    # corner shared by pixels 3/4 under align_corners=False -> bilinear
+    # weight 0.25 on the hot pixel, x uniform depth prob 1/4 = 0.0625),
+    # and a voxel far off-axis (out of frustum -> masked to 0)
+    ref = jnp.asarray([[[0.0, 0.0, 2.0], [50.0, 0.0, 2.0]]])
+    out = sample_camera_features(
+        [jnp.asarray(feat)], jnp.asarray(depth), ref, l2i, (H, W))
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0625, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), 0.0, atol=1e-7)
+
+
+def test_gridmask_masks_pixels():
+    from uni3detr_tpu.data.pipeline import build_pipeline
+    pipe = build_pipeline(
+        [dict(type="GridMask", prob=1.0)],
+        dict(pc_range=(-1,) * 3 + (1,) * 3, class_names=["a"],
+             data_root="", box_type="Depth"))
+    s = {"images": np.ones((1, 16, 16, 3), np.float32)}
+    out = pipe(s, np.random.default_rng(0))
+    assert out["images"].min() == 0.0 and out["images"].max() == 1.0

@@ -51,7 +51,12 @@ def main():
                               model_cfg.in_point_features,
                               model_cfg.code_size)
     tx = make_optimizer(1e-4)
-    state = create_train_state(model_cfg, jax.random.PRNGKey(0), batch0, tx)
+    zs_init = None
+    zs_path = getattr(model_cfg, "zeroshot_path", None)
+    if zs_path:
+        zs_init = np.load(zs_path)
+    state = create_train_state(model_cfg, jax.random.PRNGKey(0), batch0, tx,
+                               zs_init=zs_init)
     if args.checkpoint:
         tree, _ = load_checkpoint(args.checkpoint, target_state=state,
                                   components=("params", "batch_stats",
@@ -71,7 +76,8 @@ def main():
         key, k = jax.random.split(key)
         boxes, scores, labels, valid = jax.tree_util.tree_map(
             np.asarray,
-            eval_fn(state.params, state.batch_stats, batch, k))
+            eval_fn(state.params, state.batch_stats, batch, k,
+                    constants=state.constants))
         v = valid[0]
         dets.append({"boxes": boxes[0][v], "scores": scores[0][v],
                      "labels": labels[0][v]})

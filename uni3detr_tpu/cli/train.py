@@ -92,8 +92,16 @@ def main():
     else:
         sched = step_lr_schedule(opt.get("lr", 1e-4), steps_per_epoch,
                                  lr_cfg.get("step", []))
+    lr_mult = cfg.get("lr_mult")
+    lr_mult_fn = None
+    if lr_mult:
+        def lr_mult_fn(path):
+            for prefix, m in lr_mult.items():
+                if path.startswith(prefix):
+                    return m
+            return 1.0
     tx = make_optimizer(sched, opt.get("weight_decay", 0.01),
-                        opt.get("clip_norm", 10.0))
+                        opt.get("clip_norm", 10.0), lr_mult_fn=lr_mult_fn)
 
     mesh = make_mesh(spatial=args.spatial_shard)
     set_active_mesh(mesh if len(jax.devices()) > 1 else None)
@@ -101,8 +109,26 @@ def main():
     pool = ThreadPoolExecutor(max_workers=cfg.data.get(
         "workers_per_gpu", 4))
     first_batch, _ = next(batch_iterator(dataset, bs, model_cfg, rng, pool))
+    zs_init = None
+    zs_path = getattr(model_cfg, "zeroshot_path", None)
+    if zs_path:
+        zs_init = np.load(zs_path)
+        log.info("loaded CLIP embeddings %s %s", zs_path, zs_init.shape)
     state = create_train_state(model_cfg, jax.random.PRNGKey(seed),
-                               first_batch, tx)
+                               first_batch, tx, zs_init=zs_init)
+
+    # OV staged init: import separately-pretrained branches by prefix
+    # (reference ov_uni3detr.py:118-165)
+    from ..train.checkpoint import load_branch
+    for src, keys in ((cfg.get("pretrained_pts"), cfg.get("load_pts")),
+                      (cfg.get("pretrained_img"), cfg.get("load_img"))):
+        if src and keys:
+            tree, _ = load_checkpoint(src)
+            params = state.params
+            for k in keys:
+                params, n = load_branch(params, tree["params"], k, k)
+                log.info("staged init: %s <- %s (%d tensors)", k, src, n)
+            state = state.replace(params=params)
     if len(jax.devices()) > 1:
         state = state.replace(params=replicate(state.params, mesh),
                               batch_stats=replicate(state.batch_stats, mesh),

@@ -280,5 +280,13 @@ def collate_batch(samples: List[dict], num_points: int, max_gt: int,
             labels[i, :g] = s["gt_labels"][:g]
             gmask[i, :g] = True
         metas.append(s.get("meta", {}))
-    return {"points": pts, "pts_mask": pmask, "gt_boxes": boxes,
-            "gt_labels": labels, "gt_mask": gmask}, metas
+    batch = {"points": pts, "pts_mask": pmask, "gt_boxes": boxes,
+             "gt_labels": labels, "gt_mask": gmask}
+    # OV multimodal extras
+    if "images" in samples[0]:
+        batch["images"] = np.stack([s["images"] for s in samples])
+        batch["lidar2img"] = np.stack(
+            [np.asarray(s["lidar2img"], np.float32) for s in samples])
+        batch["uni_rot_aug"] = np.stack(
+            [np.asarray(s["uni_rot_aug"], np.float32) for s in samples])
+    return batch, metas

@@ -307,6 +307,35 @@ class LoadPointsFromMultiSweeps:
         return sample
 
 
+@register("GridMask")
+class GridMaskTransform:
+    """Grid-dropout image augmentation (reference grid_mask.py:6-122,
+    applied with prob 0.7 in the OV image branch; host-side here).
+
+    Drops a regular grid of square patches (ratio of the cell kept) at a
+    random rotation-free offset. sample['images'] is (N, H, W, 3)."""
+
+    def __init__(self, ctx, prob=0.7, ratio=0.5, min_d=2):
+        self.prob = prob
+        self.ratio = ratio
+        self.min_d = min_d
+
+    def __call__(self, sample, rng):
+        imgs = sample.get("images")
+        if imgs is None or rng.random() > self.prob:
+            return sample
+        H, W = imgs.shape[-3:-1]
+        d = int(rng.integers(self.min_d, max(min(H, W) // 4, self.min_d + 1)))
+        keep = int(np.ceil(d * self.ratio))
+        oy = int(rng.integers(0, d))
+        ox = int(rng.integers(0, d))
+        yy = ((np.arange(H) + oy) % d) < keep
+        xx = ((np.arange(W) + ox) % d) < keep
+        mask = (~(yy[:, None] & xx[None, :])).astype(imgs.dtype)
+        sample["images"] = imgs * mask[None, :, :, None]
+        return sample
+
+
 @register("ObjectSample")
 class ObjectSample:
     """GT-database copy-paste augmentation (reference

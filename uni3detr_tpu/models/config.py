@@ -2,7 +2,7 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
@@ -72,3 +72,24 @@ class Uni3DETRConfig:
     def jnp_compute_dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" \
             else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class OVUni3DETRConfig(Uni3DETRConfig):
+    """OV-Uni3DETR: multimodal open-vocabulary extension
+    (ov_uni3detr.py:23-443 + ov_uni3detr_sunrgbd_*.py configs)."""
+    use_lidar: bool = True
+    use_camera: bool = True
+    multimodal: bool = True
+    num_cams: int = 1
+    img_size: Tuple[int, int] = (480, 640)  # (H, W) padded input
+    depth_dim: int = 64
+    num_view_convs: int = 3
+    view_kernel: Tuple[int, int, int] = (3, 3, 3)
+    fpn_levels: int = 4
+    stage_with_dcn: Tuple[bool, ...] = (False, True, True, True)
+    frozen_stages: int = 1
+    use_grid_mask: bool = True
+    clip_dim: int = 1024
+    zeroshot_path: Optional[str] = None
+    uncertainty_consistency_weight: float = 1.0

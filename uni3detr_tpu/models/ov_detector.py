@@ -1,0 +1,157 @@
+"""OV-Uni3DETR detector: multimodal open-vocabulary detection.
+
+Capability parity with the reference OV_Uni3DETR (ov_uni3detr.py:23-443):
+- image branch: ResNet(+DCNv2)+FPN -> 1x1 input_proj per level
+  (":172-201"), SimpleDepth 1x1 conv -> softmax 64-bin depth distribution
+  per level (":253-272"), Uni3DViewTrans lift to the shared voxel space
+  (":274-282");
+- point branch identical to Uni3DETR;
+- multimodal fusion with train-time random modality dropout —
+  ri in {(img,img), (pts,pts), (pts,img)} (":288-295"); eval concatenates
+  both (":297") — followed by a 3D conv fusion layer (":104-116,301-304");
+- camera-only / lidar-only modes; CLIP classification head.
+
+GridMask image augmentation runs host-side in the data pipeline (the
+reference applies it on device, grid_mask.py:6-122 — same effect).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.fps import farthest_point_sample
+from .config import OVUni3DETRConfig
+from .detector import Uni3DETR, _minmax_norm
+from .head_clip import Uni3DETRHeadCLIP
+from .resnet import ResNet, FPN
+from .second3d import SECOND3D, SECOND3DFPN
+from .sparse_encoder import SparseEncoderHD
+from .view_trans import Uni3DViewTrans
+
+
+class OV_Uni3DETR(nn.Module):
+    cfg: OVUni3DETRConfig
+    zs_init: object = None  # (ncls, clip_dim) CLIP text embeddings
+
+    def _pts_volume(self, points, pts_mask, train):
+        cfg = self.cfg
+        dtype = cfg.jnp_compute_dtype
+        helper = Uni3DETR(cfg, parent=None)
+        feats, coords, vmask = helper.voxelize(points, pts_mask, train)
+        volume, grid = SparseEncoderHD(
+            sparse_shape=tuple(cfg.grid_size),
+            base_channels=cfg.encoder_base_channels,
+            output_channels=cfg.encoder_out_channels,
+            encoder_channels=cfg.encoder_channels,
+            downsample_paddings=cfg.encoder_downsample_paddings,
+            compute_dtype=dtype,
+            name="pts_middle_encoder")(feats, coords, vmask, train)
+        ms = SECOND3D(out_channels=cfg.backbone_channels,
+                      layer_nums=cfg.backbone_layers,
+                      layer_strides=cfg.backbone_strides,
+                      name="pts_backbone")(volume.astype(dtype), train)
+        fused = SECOND3DFPN(out_channels=cfg.neck_channels,
+                            upsample_strides=cfg.neck_upsample_strides,
+                            name="pts_neck")(ms, train)
+        # FPS query points (same dual scheme as Uni3DETR)
+        nq = cfg.num_query
+        xyz = points[..., :3]
+        idx1 = farthest_point_sample(xyz, pts_mask, nq)
+        fps1 = _minmax_norm(jnp.take_along_axis(xyz, idx1[..., None], 1))
+        vc = coords[..., ::-1].astype(jnp.float32)
+        vc = jnp.where(vmask[..., None], vc, 0.0)
+        idx2 = farthest_point_sample(vc, vmask, nq)
+        fps2 = _minmax_norm(jnp.take_along_axis(vc, idx2[..., None], 1))
+        return fused, jnp.concatenate([fps1, fps2], 1), grid
+
+    def _img_volume(self, images, lidar2img, uni_rot_aug, voxel_shape,
+                    train):
+        """images (B, N, H, W, 3) -> (B, D, H', W', C) voxel volume."""
+        cfg = self.cfg
+        dtype = cfg.jnp_compute_dtype
+        B, N, H, W, _ = images.shape
+        x = images.reshape(B * N, H, W, 3).astype(dtype)
+        feats = ResNet(stage_with_dcn=cfg.stage_with_dcn,
+                       frozen_stages=cfg.frozen_stages,
+                       name="img_backbone")(x, train)
+        fpn = FPN(out_channels=cfg.embed_dim, num_outs=5,
+                  name="img_neck")(feats)[:cfg.fpn_levels]
+        proj = nn.Conv(cfg.embed_dim, (1, 1), name="input_proj")
+        depth_net = nn.Conv(cfg.depth_dim, (1, 1), name="depth_net")
+        mlvl, depths = [], []
+        for f in fpn:
+            p = proj(f)
+            mlvl.append(p.reshape(B, N, *p.shape[1:]))
+            d = jax.nn.softmax(depth_net(p), axis=-1)
+            depths.append(d.reshape(B, N, *d.shape[1:]))
+        vt = Uni3DViewTrans(
+            voxel_shape=voxel_shape, pc_range=tuple(cfg.pc_range),
+            embed_dims=cfg.embed_dim, num_convs=cfg.num_view_convs,
+            kernel_size=tuple(cfg.view_kernel), name="view_trans")
+        return vt(mlvl, depths, lidar2img, uni_rot_aug,
+                  (cfg.img_size[0], cfg.img_size[1]), train)
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False, random_points=None):
+        """batch: dict with any of
+        points (B,P,C) + pts_mask (B,P), images (B,N,H,W,3) +
+        lidar2img (B,N,4,4) + uni_rot_aug (B,3,3).
+        """
+        cfg = self.cfg
+        dtype = cfg.jnp_compute_dtype
+        use_pts = cfg.use_lidar and "points" in batch
+        use_img = cfg.use_camera and "images" in batch
+
+        pts_feat = fpsbpts = img_feat = None
+        grid = None
+        if use_pts:
+            pts_feat, fpsbpts, grid = self._pts_volume(
+                batch["points"], batch["pts_mask"], train)
+        if use_img:
+            if grid is None:
+                # derive encoder output grid from config (3 stride-2 stages)
+                grid = tuple(cfg.grid_size)
+                for pad in cfg.encoder_downsample_paddings:
+                    grid = tuple((g + 2 * p - 3) // 2 + 1
+                                 for g, p in zip(grid, pad))
+            D, Hh, Ww = grid
+            img_feat = self._img_volume(
+                batch["images"], batch["lidar2img"], batch["uni_rot_aug"],
+                (Ww, Hh, D), train).astype(dtype)
+
+        if use_pts and use_img:
+            if train:
+                ri = jax.random.randint(self.make_rng("modality"), (), 0, 3)
+                a = jnp.where(ri == 0, img_feat,
+                              pts_feat.astype(img_feat.dtype))
+                b = jnp.where(ri == 2, img_feat,
+                              jnp.where(ri == 0, img_feat,
+                                        pts_feat.astype(img_feat.dtype)))
+                unified = jnp.concatenate([a, b], axis=-1)
+            else:
+                unified = jnp.concatenate(
+                    [pts_feat.astype(img_feat.dtype), img_feat], axis=-1)
+            pad = [(1, 1)] * 3
+            fused = nn.Conv(cfg.embed_dim, (3, 3, 3), padding=pad,
+                            name="fusion_conv")(unified)
+            fused = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.99, epsilon=1e-3,
+                                 dtype=jnp.float32,
+                                 name="fusion_bn")(fused)
+            volume = nn.relu(fused)
+        elif use_pts:
+            volume = pts_feat
+        else:
+            volume = img_feat
+            fpsbpts = None
+
+        head = Uni3DETRHeadCLIP(
+            num_classes=cfg.num_classes, num_query=cfg.num_query,
+            code_size=cfg.code_size, embed_dim=cfg.embed_dim,
+            num_decoder_layers=cfg.num_decoder_layers,
+            num_heads=cfg.num_heads, ffn_dim=cfg.ffn_dim,
+            dropout=cfg.dropout, clip_dim=cfg.clip_dim,
+            pc_range=tuple(cfg.pc_range), name="pts_bbox_head")
+        return head(volume.astype(dtype), fpsbpts, train=train,
+                    random_points=random_points, zs_init=self.zs_init)

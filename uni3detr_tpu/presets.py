@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 
-from .models.config import Uni3DETRConfig
+from .models.config import Uni3DETRConfig, OVUni3DETRConfig
 
 # uni3detr_sunrgbd.py:10-12,26-140,230-242
 SUNRGBD = Uni3DETRConfig(
@@ -83,6 +83,33 @@ NUSCENES = Uni3DETRConfig(
     compute_dtype="bfloat16",
 )
 
+_OV_COMMON = dict(
+    num_classes=46, code_size=8,
+    pc_range=(-3.2, -0.2, -2.0, 3.2, 6.2, 0.56),
+    voxel_size=(0.02, 0.02, 0.02), grid_size=(128, 320, 320),
+    max_points_per_voxel=5, max_voxels=16000, max_voxels_test=40000,
+    num_points=100000, max_gt=64, in_point_features=4,
+    num_query=300,
+    post_center_range=(-3.2, -0.2, -2.0, 3.2, 6.2, 0.56),
+    max_num=1000, coder_alpha=1.0, post_processing="nms", nms_thr=0.5,
+    num_cams=1, img_size=(480, 640), depth_dim=64, clip_dim=1024,
+    compute_dtype="bfloat16",
+)
+
+# ov_uni3detr_sunrgbd_pc.py: point-only OV, 46 classes, 3 decoder layers
+OV_SUNRGBD_PC = OVUni3DETRConfig(
+    **_OV_COMMON, use_camera=False, multimodal=False,
+    num_decoder_layers=3)
+
+# ov_uni3detr_sunrgbd_rgb.py: camera-only, 6 decoder layers, voxel lift
+OV_SUNRGBD_RGB = OVUni3DETRConfig(
+    **_OV_COMMON, use_lidar=False, multimodal=False,
+    num_decoder_layers=6)
+
+# ov_uni3detr_sunrgbd_mm.py: both branches + fusion
+OV_SUNRGBD_MM = OVUni3DETRConfig(
+    **_OV_COMMON, multimodal=True, num_decoder_layers=6)
+
 # tiny model for smoke tests / CI (not a reference config)
 TINY_SYNTHETIC = Uni3DETRConfig(
     num_classes=3, code_size=8,
@@ -103,6 +130,9 @@ TINY_SYNTHETIC = Uni3DETRConfig(
 PRESETS = {
     "uni3detr_sunrgbd": SUNRGBD,
     "uni3detr_tiny_synthetic": TINY_SYNTHETIC,
+    "ov_uni3detr_sunrgbd_pc": OV_SUNRGBD_PC,
+    "ov_uni3detr_sunrgbd_rgb": OV_SUNRGBD_RGB,
+    "ov_uni3detr_sunrgbd_mm": OV_SUNRGBD_MM,
     "uni3detr_scannet": SCANNET,
     "uni3detr_scannet_large": SCANNET_LARGE,
     "uni3detr_kitti_car": KITTI_CAR,

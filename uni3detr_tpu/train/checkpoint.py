@@ -26,6 +26,8 @@ def save_checkpoint(path: str, state, meta: Optional[Dict] = None):
     cptr, path = _ckpt(path)
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
+    if getattr(state, "constants", None):
+        tree["constants"] = state.constants
     cptr.save(path, tree, force=True)
     if meta is not None:
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -65,6 +67,8 @@ def restore_state(state, tree):
         kw["batch_stats"] = tree["batch_stats"]
     if "opt_state" in tree:
         kw["opt_state"] = tree["opt_state"]
+    if "constants" in tree:
+        kw["constants"] = tree["constants"]
     if "step" in tree:
         kw["step"] = np.asarray(tree["step"], np.int32)
     return state.replace(**kw)

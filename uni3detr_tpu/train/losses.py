@@ -84,8 +84,12 @@ def hungarian_assign(cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask,
 
 
 def _layer_loss(cls_scores, bbox_preds, iou_preds, gt_boxes, gt_labels,
-                gt_mask, cfg: Uni3DETRConfig):
-    """Loss of one decoder layer over the batch. Shapes (B, Q, .)."""
+                gt_mask, cfg: Uni3DETRConfig, unc_preds=None):
+    """Loss of one decoder layer over the batch. Shapes (B, Q, .).
+
+    ``unc_preds`` (B, Q, ncls+1): OV uncertainty branch — weights the L1
+    loss by sqrt(2)*exp(-sigma) and adds a consistency term sigma.mean()
+    (uni3detr_head_clip.py:696-748)."""
     B, Q, ncls = cls_scores.shape
     assigned = jax.vmap(
         lambda c, b, gb, gl, gm: hungarian_assign(c, b, gb, gl, gm, cfg))(
@@ -113,6 +117,12 @@ def _layer_loss(cls_scores, bbox_preds, iou_preds, gt_boxes, gt_labels,
     cw = jnp.asarray(cfg.code_weights, jnp.float32)
     l1 = jnp.abs(bbox_preds - norm_tgt) * cw * pos[..., None]
     l1 = jnp.where(jnp.isfinite(l1), l1, 0.0)
+    loss_consistency = None
+    if unc_preds is not None:
+        sel = jnp.take_along_axis(unc_preds, labels[..., None], axis=-1)
+        sel = jnp.clip(sel[..., 0], 0.01, None)           # (B, Q)
+        l1 = l1 * (jnp.sqrt(2.0) * jnp.exp(-sel))[..., None]
+        loss_consistency = jnp.mean(sel)
     loss_bbox = jnp.sum(l1) / num_pos * cfg.loss_bbox_weight
 
     loss_iou = jnp.sum((1.0 - iou_bev) * pos) / num_pos \
@@ -125,24 +135,30 @@ def _layer_loss(cls_scores, bbox_preds, iou_preds, gt_boxes, gt_labels,
         jnp.exp(-jnp.abs(iou_preds)))
     loss_iou_pred = jnp.sum(bce * pos) / num_pos * 1.2
 
-    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
-            "loss_iou": loss_iou, "loss_iou_pred": loss_iou_pred}
+    out = {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
+           "loss_iou": loss_iou, "loss_iou_pred": loss_iou_pred}
+    if loss_consistency is not None:
+        out["loss_consistency"] = loss_consistency
+    return out
 
 
 def uni3detr_loss(outs, gt_boxes, gt_labels, gt_mask, cfg: Uni3DETRConfig):
     """Total loss over all decoder layers.
 
-    outs: head output dict; gt_boxes (B, Gt, 7|9) gravity-centered model
-    boxes; gt_labels (B, Gt); gt_mask (B, Gt).
+    outs: head output dict (with optional 'all_uncertainty_preds' from the
+    OV head); gt_boxes (B, Gt, 7|9) gravity-centered model boxes;
+    gt_labels (B, Gt); gt_mask (B, Gt).
     Returns (total, dict of per-layer components 'd{i}.loss_*').
     """
     L = outs["all_cls_scores"].shape[0]
+    unc = outs.get("all_uncertainty_preds")
     logs = {}
     total = 0.0
     for l in range(L):
         d = _layer_loss(outs["all_cls_scores"][l], outs["all_bbox_preds"][l],
                         outs["all_iou_preds"][l], gt_boxes, gt_labels,
-                        gt_mask, cfg)
+                        gt_mask, cfg,
+                        unc_preds=None if unc is None else unc[l])
         prefix = "" if l == L - 1 else f"d{l}."
         for k, v in d.items():
             logs[prefix + k] = v

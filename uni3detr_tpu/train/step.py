@@ -18,10 +18,27 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from ..models.config import Uni3DETRConfig
+from ..models.config import Uni3DETRConfig, OVUni3DETRConfig
 from ..models.detector import Uni3DETR
 from .coder import decode_predictions, post_process
 from .losses import uni3detr_loss
+
+
+def build_model(cfg: Uni3DETRConfig, zs_init=None):
+    if isinstance(cfg, OVUni3DETRConfig):
+        from ..models.ov_detector import OV_Uni3DETR
+        return OV_Uni3DETR(cfg, zs_init=zs_init)
+    return Uni3DETR(cfg)
+
+
+def _apply(model, cfg, variables, batch, *, train, rngs=None, mutable=False,
+           random_points=None):
+    if isinstance(cfg, OVUni3DETRConfig):
+        return model.apply(variables, batch, train=train, rngs=rngs,
+                           mutable=mutable, random_points=random_points)
+    return model.apply(variables, batch["points"], batch["pts_mask"],
+                       train=train, rngs=rngs, mutable=mutable,
+                       random_points=random_points)
 
 
 class TrainState(struct.PyTreeNode):
@@ -29,8 +46,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    apply_fn: Callable = struct.field(pytree_node=False)
+    constants: Any = FrozenDict()  # frozen buffers (CLIP text embeddings)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                    default=None)
+    apply_fn: Callable = struct.field(pytree_node=False, default=None)
 
 
 def make_optimizer(lr_schedule, weight_decay=0.01, clip_norm=10.0,
@@ -85,18 +104,26 @@ def cyclic_lr_schedule(base_lr, total_steps, target_ratio=(10, 1e-4),
         [up])
 
 
-def create_train_state(cfg: Uni3DETRConfig, rng, sample_batch, tx):
+def create_train_state(cfg: Uni3DETRConfig, rng, sample_batch, tx,
+                       zs_init=None):
     """Initialize model params/stats from a (host) sample batch."""
-    model = Uni3DETR(cfg)
-    points, pts_mask = sample_batch["points"], sample_batch["pts_mask"]
-    rp = jnp.zeros((points.shape[0], cfg.num_query, 3), jnp.float32)
-    variables = model.init({"params": rng}, points, pts_mask, train=False,
-                           random_points=rp)
+    model = build_model(cfg, zs_init=zs_init)
+    B = next(iter(sample_batch.values())).shape[0]
+    rp = jnp.zeros((B, cfg.num_query, 3), jnp.float32)
+    rngs = {"params": rng, "modality": jax.random.PRNGKey(0)}
+    if isinstance(cfg, OVUni3DETRConfig):
+        variables = model.init(rngs, sample_batch, train=False,
+                               random_points=rp)
+    else:
+        variables = model.init(rngs, sample_batch["points"],
+                               sample_batch["pts_mask"], train=False,
+                               random_points=rp)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
+    constants = variables.get("constants", FrozenDict())
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=tx.init(params),
-                      tx=tx, apply_fn=model.apply)
+                      constants=constants, tx=tx, apply_fn=model.apply)
 
 
 def make_train_step(cfg: Uni3DETRConfig, donate: bool = True):
@@ -107,11 +134,16 @@ def make_train_step(cfg: Uni3DETRConfig, donate: bool = True):
     """
     from ..geom.boxes import gravity_center_boxes
 
-    def loss_fn(params, batch_stats, batch, rng):
-        outs, mut = Uni3DETR(cfg).apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["points"], batch["pts_mask"], train=True,
-            mutable=["batch_stats"], rngs={"dropout": rng})
+    model = build_model(cfg)
+
+    def loss_fn(params, batch_stats, constants, batch, rng):
+        k1, k2 = jax.random.split(rng)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if constants:
+            variables["constants"] = constants
+        outs, mut = _apply(model, cfg, variables, batch, train=True,
+                           mutable=["batch_stats"],
+                           rngs={"dropout": k1, "modality": k2})
         gt = gravity_center_boxes(batch["gt_boxes"])
         total, logs = uni3detr_loss(outs, gt, batch["gt_labels"],
                                     batch["gt_mask"], cfg)
@@ -119,8 +151,8 @@ def make_train_step(cfg: Uni3DETRConfig, donate: bool = True):
 
     def train_step(state: TrainState, batch, rng):
         (total, (new_stats, logs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   rng)
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.constants, batch, rng)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -136,15 +168,19 @@ def make_train_step(cfg: Uni3DETRConfig, donate: bool = True):
 
 def make_eval_step(cfg: Uni3DETRConfig):
     """Returns jitted eval_step(params, batch_stats, batch, rng) ->
-    (boxes_bottom, scores, labels, valid) fixed-size detections."""
+    (boxes_bottom, scores, labels, valid) fixed-size detections.
+    For OV models pass constants too (keyword)."""
 
-    def eval_step(params, batch_stats, batch, rng):
-        B = batch["points"].shape[0]
+    model = build_model(cfg)
+
+    def eval_step(params, batch_stats, batch, rng, constants=None):
+        B = next(iter(batch.values())).shape[0]
         rp = jax.random.uniform(rng, (B, cfg.num_query, 3))
-        outs = Uni3DETR(cfg).apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["points"], batch["pts_mask"], train=False,
-            random_points=rp)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if constants:
+            variables["constants"] = constants
+        outs = _apply(model, cfg, variables, batch, train=False,
+                      random_points=rp)
         boxes, scores, labels, valid = decode_predictions(outs, cfg)
         return post_process(boxes, scores, labels, valid, cfg)
 
