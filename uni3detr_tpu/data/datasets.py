@@ -38,8 +38,9 @@ class DetDataset:
     def __init__(self, data_root, ann_file, pipeline_cfg, class_names,
                  pc_range, dataset_type="sunrgbd", box_type="Depth",
                  load_dim=6, use_dim=(0, 1, 2), shift_height=False,
-                 test_mode=False, filter_empty_gt=True):
+                 test_mode=False, filter_empty_gt=True, use_camera=False):
         self.data_root = data_root
+        self.use_camera = use_camera
         self.dataset_type = dataset_type
         self.class_names = list(class_names)
         self.load_dim = load_dim
@@ -78,6 +79,17 @@ class DetDataset:
             if t == "scannet" and "axis_align_matrix" in annos:
                 meta["axis_align_matrix"] = np.asarray(
                     annos["axis_align_matrix"], np.float32)
+            # camera info for the OV image branch (single view)
+            if self.use_camera and "image" in info and "calib" in info:
+                meta["img_paths"] = [os.path.join(
+                    self.data_root, info["image"]["image_path"])]
+                K = np.asarray(info["calib"]["K"],
+                               np.float32).reshape(3, 3)
+                Rt = np.asarray(info["calib"]["Rt"],
+                                np.float32).reshape(3, 3)
+                P = np.eye(4, dtype=np.float32)
+                P[:3, :3] = K @ Rt
+                meta["lidar2img"] = P[None]  # (1, 4, 4)
         elif t == "kitti":
             path = os.path.join(
                 self.data_root,
@@ -248,6 +260,7 @@ def build_dataset(data_cfg: dict, class_names, pc_range, split="train"):
             load_dim=data_cfg.get("load_dim", 6),
             use_dim=tuple(data_cfg.get("use_dim", (0, 1, 2))),
             shift_height=data_cfg.get("shift_height", False),
+            use_camera=data_cfg.get("use_camera", False),
             test_mode=(split != "train"))
     if split == "train":
         if data_cfg.get("cbgs") and t != "synthetic":

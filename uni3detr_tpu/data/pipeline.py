@@ -307,6 +307,142 @@ class LoadPointsFromMultiSweeps:
         return sample
 
 
+@register("LoadImageFromFile")
+class LoadImageFromFile:
+    """Load the sample's image(s) and build per-view lidar2img.
+
+    reference: indoor multi-view loaders (loading_3d.py:26-83) — for
+    SUN RGB-D a single view with lidar2img = [K @ Rt | 0] from the info
+    calib. The dataset parser stashes 'img_path' / 'K' / 'Rt' in meta.
+    """
+
+    def __init__(self, ctx, to_float32=True):
+        self.to_float32 = to_float32
+
+    def __call__(self, sample, rng):
+        meta = sample.get("meta", {})
+        paths = meta.get("img_paths")
+        if not paths:
+            return sample
+        from PIL import Image
+        imgs = []
+        for p in paths:
+            im = np.asarray(Image.open(p).convert("RGB"))
+            imgs.append(im.astype(np.float32) if self.to_float32 else im)
+        sample["images"] = np.stack(imgs)
+        sample["lidar2img"] = np.asarray(meta["lidar2img"], np.float32)
+        sample.setdefault("uni_rot_aug", np.eye(3, dtype=np.float32))
+        return sample
+
+
+@register("NormalizeImage")
+@register("NormalizeMultiviewImage")
+class NormalizeImage:
+    """Per-channel mean/std normalization (transform_3d.py:68-101)."""
+
+    def __init__(self, ctx, mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375)):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, sample, rng):
+        if "images" in sample:
+            sample["images"] = (sample["images"] - self.mean) / self.std
+        return sample
+
+
+@register("PadImage")
+@register("PadMultiViewImage")
+class PadImage:
+    """Pad images to a fixed (H, W) or size divisor
+    (transform_3d.py:16-65)."""
+
+    def __init__(self, ctx, size=None, size_divisor=32):
+        self.size = size
+        self.size_divisor = size_divisor
+
+    def __call__(self, sample, rng):
+        imgs = sample.get("images")
+        if imgs is None:
+            return sample
+        N, H, W, C = imgs.shape
+        if self.size is not None:
+            th, tw = self.size
+        else:
+            d = self.size_divisor
+            th, tw = -(-H // d) * d, -(-W // d) * d
+        out = np.zeros((N, th, tw, C), imgs.dtype)
+        out[:, :H, :W] = imgs[:, :th, :tw]
+        sample["images"] = out
+        return sample
+
+
+@register("ResizeImage")
+@register("RandomScaleImageMultiViewImage")
+class ResizeImage:
+    """Random (or fixed) image rescale, updating lidar2img intrinsics
+    (transform_3d.py:204-241)."""
+
+    def __init__(self, ctx, scales=(1.0,)):
+        self.scales = scales
+
+    def __call__(self, sample, rng):
+        imgs = sample.get("images")
+        if imgs is None:
+            return sample
+        s = self.scales[int(rng.integers(len(self.scales)))]
+        if s != 1.0:
+            import cv2
+            N, H, W, C = imgs.shape
+            nh, nw = int(H * s), int(W * s)
+            imgs = np.stack([cv2.resize(im, (nw, nh)) for im in imgs])
+            sample["images"] = imgs
+            scale_mat = np.eye(4, dtype=np.float32)
+            scale_mat[0, 0] = scale_mat[1, 1] = s
+            sample["lidar2img"] = scale_mat @ sample["lidar2img"]
+        return sample
+
+
+@register("PhotoMetricDistortion")
+@register("PhotoMetricDistortionMultiViewImage")
+class PhotoMetricDistortion:
+    """Brightness / contrast / saturation / hue jitter
+    (transform_3d.py:104-201)."""
+
+    def __init__(self, ctx, brightness_delta=32,
+                 contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
+                 hue_delta=18):
+        self.bd = brightness_delta
+        self.cr = contrast_range
+        self.sr = saturation_range
+        self.hd = hue_delta
+
+    def __call__(self, sample, rng):
+        imgs = sample.get("images")
+        if imgs is None:
+            return sample
+        import cv2
+        out = []
+        for im in imgs:
+            im = im.astype(np.float32)
+            if rng.random() < 0.5:
+                im = im + rng.uniform(-self.bd, self.bd)
+            if rng.random() < 0.5:
+                im = im * rng.uniform(*self.cr)
+            hsv = cv2.cvtColor(np.clip(im, 0, 255).astype(np.uint8),
+                               cv2.COLOR_RGB2HSV).astype(np.float32)
+            if rng.random() < 0.5:
+                hsv[..., 1] *= rng.uniform(*self.sr)
+            if rng.random() < 0.5:
+                hsv[..., 0] = (hsv[..., 0]
+                               + rng.uniform(-self.hd, self.hd)) % 180
+            im = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                              cv2.COLOR_HSV2RGB).astype(np.float32)
+            out.append(im)
+        sample["images"] = np.stack(out)
+        return sample
+
+
 @register("GridMask")
 class GridMaskTransform:
     """Grid-dropout image augmentation (reference grid_mask.py:6-122,
