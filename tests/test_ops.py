@@ -221,6 +221,30 @@ def test_match_queries_grouped():
         assert got <= opt + 1e-2 * max(1.0, abs(opt))
 
 
+def test_pallas_auction_interpret_matches_scipy():
+    """Kernel logic check via pallas interpret mode on CPU."""
+    from scipy.optimize import linear_sum_assignment
+    from uni3detr_tpu.ops.matching import _match_groups_pallas
+    rng = np.random.RandomState(11)
+    ng, nq, M = 2, 32, 8
+    # pad nq to 128 happens inside; use real-ish scale costs
+    cost = rng.randn(ng, nq, M).astype(np.float32) * 3
+    import unittest.mock as mock
+    import uni3detr_tpu.ops.matching_pallas as mp
+    real_fn = mp.auction_lap_pallas
+    with mock.patch.object(
+            mp, "auction_lap_pallas",
+            lambda b, s, **kw: real_fn(b, s, interpret=True)):
+        rows = np.asarray(_match_groups_pallas(
+            jnp.asarray(cost), jnp.ones(M, bool)))
+    for g in range(ng):
+        r, c = linear_sum_assignment(cost[g].T)  # bidders = cols
+        opt = cost[g].T[r, c].sum()
+        got = sum(cost[g][rows[g, j], j] for j in range(M))
+        assert len(set(rows[g].tolist())) == M
+        assert got <= opt + 1e-2 * max(1.0, abs(opt)), (g, got, opt)
+
+
 def test_match_queries_repeat():
     rng = np.random.RandomState(9)
     nq, Gt, rep = 32, 4, 3

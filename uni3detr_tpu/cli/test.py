@@ -90,11 +90,25 @@ def main():
             pickle.dump(dets, f)
         print(f"wrote {args.out}")
     if args.eval:
-        res = indoor_eval(gts, dets, list(cfg.class_names),
-                          seen_classes=cfg.get("seen_classes"))
-        print(format_table(res, list(cfg.class_names)))
-        print(json.dumps({k: v for k, v in res.items()
-                          if isinstance(v, float)}, indent=2))
+        dtype_ = cfg.data["dataset_type"]
+        if dtype_ == "kitti":
+            from ..data.eval.kitti_eval import kitti_eval
+            res = kitti_eval(gts, dets, list(cfg.class_names))
+            print(json.dumps(res, indent=2))
+        elif dtype_ == "nuscenes":
+            from ..data.eval.nuscenes_eval import format_results
+            out_json = (args.out or "work_dirs/results") + "_nusc.json"
+            infos = [dataset.infos[i] for i in range(n)] \
+                if hasattr(dataset, "infos") else []
+            format_results(dets, infos, list(cfg.class_names), out_json)
+            print(f"wrote nuScenes submission {out_json} (official eval "
+                  "requires nuscenes-devkit)")
+        else:
+            res = indoor_eval(gts, dets, list(cfg.class_names),
+                              seen_classes=cfg.get("seen_classes"))
+            print(format_table(res, list(cfg.class_names)))
+            print(json.dumps({k: v for k, v in res.items()
+                              if isinstance(v, float)}, indent=2))
 
 
 if __name__ == "__main__":

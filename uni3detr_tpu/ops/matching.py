@@ -114,7 +114,36 @@ def auction_lap(cost, max_iters: int = 4096):
     return item_of[:M]
 
 
-def match_queries_to_gt(cost, gt_valid, num_query: int, gt_repeat: int = 1):
+def _match_groups_pallas(grouped, gt_valid_tiled, interpret=False):
+    """grouped (ng, nq, M) cost; returns row_of_col (ng, M) int32.
+
+    Builds padded-square benefit matrices (N = nq rounded up to 128):
+    rows = bidders (real GT columns, then indifferent jittered dummies),
+    cols = items (real queries, then strongly-disfavored dummy items) and
+    solves all instances in one Pallas launch (VMEM-resident auction).
+    """
+    from .matching_pallas import auction_lap_pallas
+
+    ng, nq, M = grouped.shape
+    N = -(-nq // 128) * 128
+    benefit_real = -jnp.swapaxes(grouped, 1, 2)  # (ng, M, nq)
+    flat = benefit_real.reshape(ng, -1)
+    spread = jnp.maximum(jnp.max(flat, 1) - jnp.min(flat, 1), 1e-6)
+    d = jnp.arange(N - M, dtype=jnp.float32)[:, None]
+    i = jnp.arange(N, dtype=jnp.float32)[None, :]
+    jitter = ((d * 131.0 + i * 31.0) % 97.0) / 97.0  # (N-M, N)
+    dummy_rows = spread[:, None, None] * 1e-4 * jitter[None]
+    top = jnp.concatenate(
+        [benefit_real,
+         jnp.full((ng, M, N - nq), -1e6, benefit_real.dtype)], axis=2)
+    benefit = jnp.concatenate([top, dummy_rows], axis=1)  # (ng, N, N)
+    item_of = auction_lap_pallas(benefit.astype(jnp.float32),
+                                 spread[:, None], interpret=interpret)
+    return item_of[:, :M]
+
+
+def match_queries_to_gt(cost, gt_valid, num_query: int, gt_repeat: int = 1,
+                        use_pallas=None):
     """Grouped set matching: cost (G*nq, Gt) -> assigned gt per query.
 
     - cost rows are ``num_groups`` independent groups of ``num_query``
@@ -140,12 +169,27 @@ def match_queries_to_gt(cost, gt_valid, num_query: int, gt_repeat: int = 1):
     if gt_repeat > 1:
         cost = jnp.tile(cost, (1, gt_repeat))
     grouped = cost.reshape(ng, num_query, Gt * gt_repeat)
+    col_ids = jnp.arange(Gt * gt_repeat, dtype=jnp.int32) % Gt
+    real = gt_valid[col_ids]
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+
+    if use_pallas:
+        rows = _match_groups_pallas(grouped, real)  # (ng, M)
+
+        def scatter(row_of_col):
+            assigned = jnp.full((num_query,), -1, jnp.int32)
+            return assigned.at[
+                jnp.where(real, row_of_col, num_query)].set(
+                    col_ids, mode="drop")
+
+        assigned = jax.vmap(scatter)(rows)
+        return assigned.reshape(total_rows)
 
     def one(c):
         # transpose: columns (gts) are the bidders, rows (queries) items
         row_of_col = auction_lap(c.T)  # (Gt*gt_repeat,)
-        col_ids = jnp.arange(Gt * gt_repeat, dtype=jnp.int32) % Gt
-        real = gt_valid[col_ids]
         assigned = jnp.full((num_query,), -1, jnp.int32)
         assigned = assigned.at[jnp.where(real, row_of_col, num_query)].set(
             col_ids, mode="drop")

@@ -79,6 +79,10 @@ def hungarian_assign(cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask,
         * cfg.iou_cost_weight
     cost = cls_cost + reg_cost + iou_cost
     cost = jnp.where(jnp.isfinite(cost), cost, 1e4)
+    # assignment is non-differentiable (reference detaches the cost,
+    # hungarian_assigner_3d.py:124); also keeps tangents out of the
+    # Pallas solver, which has no JVP rule
+    cost = jax.lax.stop_gradient(cost)
     return match_queries_to_gt(cost, gt_mask, cfg.num_query,
                                cfg.gt_repeattimes)
 

@@ -111,13 +111,19 @@ def create_train_state(cfg: Uni3DETRConfig, rng, sample_batch, tx,
     B = next(iter(sample_batch.values())).shape[0]
     rp = jnp.zeros((B, cfg.num_query, 3), jnp.float32)
     rngs = {"params": rng, "modality": jax.random.PRNGKey(0)}
+    # init MUST run as one jitted program: eager tracing executes hundreds
+    # of small ops, which is slow everywhere and pathological on the axon
+    # TPU runtime (see bench.py note)
+    sample_batch = jax.tree_util.tree_map(jnp.asarray, sample_batch)
     if isinstance(cfg, OVUni3DETRConfig):
-        variables = model.init(rngs, sample_batch, train=False,
-                               random_points=rp)
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, train=False, random_points=rp)
+        )(rngs, sample_batch)
     else:
-        variables = model.init(rngs, sample_batch["points"],
-                               sample_batch["pts_mask"], train=False,
-                               random_points=rp)
+        variables = jax.jit(
+            lambda r, p, m: model.init(r, p, m, train=False,
+                                       random_points=rp)
+        )(rngs, sample_batch["points"], sample_batch["pts_mask"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     constants = variables.get("constants", FrozenDict())
