@@ -79,8 +79,20 @@ def main():
             eval_fn(state.params, state.batch_stats, batch, k,
                     constants=state.constants))
         v = valid[0]
-        dets.append({"boxes": boxes[0][v], "scores": scores[0][v],
-                     "labels": labels[0][v]})
+        det = {"boxes": boxes[0][v], "scores": scores[0][v],
+               "labels": labels[0][v]}
+        if model_cfg.post_processing == "box_merging":
+            from ..data.eval.box_merging import merge_boxes_3d
+            l2, b2, s2, _ = merge_boxes_3d(det["labels"], det["boxes"],
+                                           det["scores"])
+            det = {"boxes": b2, "scores": s2, "labels": l2}
+            if model_cfg.score_thr is not None:
+                thr = (np.asarray(model_cfg.score_thr)[det["labels"]]
+                       if isinstance(model_cfg.score_thr, (tuple, list))
+                       else model_cfg.score_thr)
+                keep = det["scores"] > thr
+                det = {k: det[k][keep] for k in det}
+        dets.append(det)
         gts.append({"boxes": s["gt_boxes"], "labels": s["gt_labels"]})
         if (i + 1) % 25 == 0:
             print(f"[{i+1}/{n}]")
