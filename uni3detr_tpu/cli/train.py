@@ -143,7 +143,7 @@ def main():
         log.info("resumed from %s at epoch %d", resume, start_epoch)
 
     step_fn = make_train_step(model_cfg)
-    key = jax.random.PRNGKey(seed + 1)
+    base_key = jax.random.PRNGKey(seed + 1)  # folded with step on device
     log_int = cfg.get("log_config", {}).get("interval", 50)
     ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 1)
     gstep = int(state.step)
@@ -152,8 +152,7 @@ def main():
         for batch, _ in batch_iterator(dataset, bs, model_cfg, rng, pool):
             if len(jax.devices()) > 1:
                 batch = shard_batch(batch, mesh)
-            key, k = jax.random.split(key)
-            state, logs = step_fn(state, batch, k)
+            state, logs = step_fn(state, batch, base_key)
             gstep += 1
             if gstep % log_int == 0:
                 logs = {k2: float(v) for k2, v in logs.items()}

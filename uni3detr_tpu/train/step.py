@@ -156,6 +156,10 @@ def make_train_step(cfg: Uni3DETRConfig, donate: bool = True):
         return total, (mut["batch_stats"], logs)
 
     def train_step(state: TrainState, batch, rng):
+        # fold the step counter in on device so callers can pass one base
+        # key for the whole run (per-step host-side RNG ops are dispatch
+        # overhead, pathological on the axon runtime)
+        rng = jax.random.fold_in(rng, state.step)
         (total, (new_stats, logs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    state.constants, batch, rng)
