@@ -99,4 +99,9 @@ def build_model_config(cfg: Config):
             return tuple(_freeze(x) for x in v)
         return v
     overrides = {k: _freeze(v) for k, v in overrides.items()}
-    return dataclasses.replace(base, **overrides)
+    mc = dataclasses.replace(base, **overrides)
+    valid_pp = ("nms", "soft_nms", "box_merging", "none")
+    if mc.post_processing not in valid_pp:
+        raise ValueError(
+            f"post_processing={mc.post_processing!r} not in {valid_pp}")
+    return mc
