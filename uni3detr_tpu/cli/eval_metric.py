@@ -10,7 +10,6 @@ import argparse
 import json
 import pickle
 
-import numpy as np
 
 
 def main():

@@ -8,7 +8,6 @@ devices with GSPMD (no torch.distributed.launch equivalent needed).
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import os
 import time

@@ -13,7 +13,7 @@ import ast
 import copy
 import dataclasses
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 
 class Config(dict):

@@ -16,7 +16,7 @@ dict. The box-yaw flip/rotation conventions follow mmdet3d >= 1.0.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, Sequence
 
 import numpy as np
 
@@ -372,7 +372,8 @@ class PadImage:
             d = self.size_divisor
             th, tw = -(-H // d) * d, -(-W // d) * d
         out = np.zeros((N, th, tw, C), imgs.dtype)
-        out[:, :H, :W] = imgs[:, :th, :tw]
+        h, w = min(H, th), min(W, tw)  # crop if larger than target
+        out[:, :h, :w] = imgs[:, :h, :w]
         sample["images"] = out
         return sample
 

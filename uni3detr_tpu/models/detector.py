@@ -13,7 +13,6 @@ Hungarian on CPU); FPS/voxelization are the fused device kernels from
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

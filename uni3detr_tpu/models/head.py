@@ -17,7 +17,7 @@ Outputs are the (L, B, Q, .) stacks the loss/coder consume.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,11 +15,10 @@ collection (frozen, not optimized).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..geom.boxes import inverse_sigmoid

@@ -1,8 +1,6 @@
 """Common flax building blocks (masked batch norm, MLPs)."""
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,9 +18,8 @@ into the batch axis.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

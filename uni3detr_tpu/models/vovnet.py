@@ -7,7 +7,7 @@ inventory completeness with the V2-39 layout by default.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,7 @@ Conventions: coords (V, 3) int32 (z, y, x); invalid rows sorted to the end
 """
 from __future__ import annotations
 
-import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

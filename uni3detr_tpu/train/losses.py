@@ -25,8 +25,6 @@ loss by construction.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -9,8 +9,7 @@ equivalents of DDP allreduce + reduce_mean).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
