@@ -113,8 +113,35 @@ def test_view_trans_projects_center():
     ref = jnp.asarray([[[0.0, 0.0, 2.0], [50.0, 0.0, 2.0]]])
     out = sample_camera_features(
         [jnp.asarray(feat)], jnp.asarray(depth), ref, l2i, (H, W))
+    out = out.sum(axis=1)  # reduce over cameras
     np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0625, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[0, 1]), 0.0, atol=1e-7)
+
+
+def test_view_trans_multisweep_modes():
+    """sweep_sum / sweep_cat / with_time fusion paths run and agree in
+    shape (reference uni3d_viewtrans.py:83-102,136-153)."""
+    from uni3detr_tpu.models.view_trans import Uni3DViewTrans
+    B, S, N, H, W, C, DD = 1, 2, 1, 8, 8, 8, 4
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.rand(B, S * N, H, W, C).astype(np.float32))]
+    depth = jnp.asarray(rng.rand(B, S * N, H, W, DD).astype(np.float32))
+    K = np.array([[8.0, 0, 4, 0], [0, 8.0, 4, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    l2i = jnp.asarray(np.tile(K, (B, S * N, 1, 1)))
+    ura = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+    times = jnp.asarray([[0.0, 0.083]])
+    for fusion in ("sweep_sum", "sweep_cat", "with_time"):
+        vt = Uni3DViewTrans(voxel_shape=(4, 4, 2), pc_range=(-2, -2, 0,
+                                                             2, 2, 4),
+                            embed_dims=C, num_convs=1, num_sweeps=S,
+                            sweep_fusion=fusion)
+        vars_ = vt.init(jax.random.PRNGKey(0), feats, depth, l2i, ura,
+                        (H, W), sweep_times=times)
+        out = vt.apply(vars_, feats, depth, l2i, ura, (H, W),
+                       sweep_times=times)
+        assert out.shape == (B, 2, 4, 4, C), (fusion, out.shape)
+        assert np.isfinite(np.asarray(out)).all()
 
 
 def test_gridmask_masks_pixels():

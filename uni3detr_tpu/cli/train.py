@@ -43,6 +43,30 @@ def batch_iterator(dataset, batch_size, cfg_model, rng, pool):
         yield batch, metas
 
 
+def prefetch(iterator, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue so
+    host-side loading/collation overlaps device steps (the role of the
+    reference's DataLoader worker processes, SURVEY.md §3.1)."""
+    import queue
+    import threading
+    q = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        yield item
+
+
 def main():
     args = parse_args()
     import jax
@@ -148,7 +172,8 @@ def main():
     gstep = int(state.step)
     t_last = time.time()
     for epoch in range(start_epoch, epochs):
-        for batch, _ in batch_iterator(dataset, bs, model_cfg, rng, pool):
+        for batch, _ in prefetch(
+                batch_iterator(dataset, bs, model_cfg, rng, pool)):
             if len(jax.devices()) > 1:
                 batch = shard_batch(batch, mesh)
             state, logs = step_fn(state, batch, base_key)

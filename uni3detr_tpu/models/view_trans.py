@@ -91,22 +91,33 @@ def sample_camera_features(mlvl_feats, img_depth, ref_voxels, lidar2img,
         out = contrib if out is None else out + contrib
     out = out.reshape(B, N, V, -1)
     out = out * mask[..., None].astype(out.dtype)
-    return out.sum(axis=1)  # (B, V, C)
+    return out  # (B, N, V, C); callers reduce over the camera axis
 
 
 class Uni3DViewTrans(nn.Module):
-    """Lift + 3D conv encoding; returns (B, D, H, W, C) channels-last."""
+    """Lift + sweep fusion + 3D conv encoding; (B, D, H, W, C) out.
+
+    Multi-sweep camera fusion modes mirror the reference
+    (uni3d_viewtrans.py:83-102,136-153): cameras of each sweep sum into a
+    per-sweep volume, then ``sweep_fusion`` in {"", "sweep_sum",
+    "sweep_cat", "with_time"} combines sweeps (with_time concatenates a
+    per-sweep time channel and 1x1-convs back to C).
+    """
     voxel_shape: Tuple[int, int, int]  # (X, Y, Z)
     pc_range: Tuple[float, ...]
     embed_dims: int = 256
     num_convs: int = 3
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    num_sweeps: int = 1
+    sweep_fusion: str = ""
 
     @nn.compact
     def __call__(self, mlvl_feats, img_depth, lidar2img, uni_rot_aug,
-                 img_shape, train: bool = False):
+                 img_shape, train: bool = False, sweep_times=None):
         """uni_rot_aug (B, 3, 3): accumulated point-aug rotation; the
-        voxel grid is pulled back through its inverse before projection."""
+        voxel grid is pulled back through its inverse before projection.
+        With num_sweeps S > 1, the camera axis of the inputs is laid out
+        (S * num_cams); sweep_times (B, S) feeds the with_time mode."""
         B = lidar2img.shape[0]
         X, Y, Z = self.voxel_shape
         ref = make_reference_voxels(self.voxel_shape, self.pc_range)
@@ -115,11 +126,27 @@ class Uni3DViewTrans(nn.Module):
         # (uni3d_viewtrans.py:281)
         inv = jnp.linalg.inv(uni_rot_aug.astype(jnp.float32))
         ref = jnp.einsum("bvj,bji->bvi", ref, inv)
-        feats = sample_camera_features(mlvl_feats, img_depth, ref,
-                                       lidar2img, img_shape)
+        per_cam = sample_camera_features(mlvl_feats, img_depth, ref,
+                                         lidar2img, img_shape)
+        C = per_cam.shape[-1]
+        V = per_cam.shape[2]
+        S = self.num_sweeps
+        feats = per_cam.reshape(B, S, -1, V, C).sum(axis=2)  # (B, S, V, C)
+        if S > 1 and "with_time" in self.sweep_fusion:
+            t = sweep_times if sweep_times is not None \
+                else jnp.zeros((B, S), feats.dtype)
+            t = jnp.broadcast_to(t[:, :, None, None], (B, S, V, 1))
+            feats = jnp.concatenate([feats, t.astype(feats.dtype)], -1)
+            feats = nn.relu(nn.Dense(self.embed_dims,
+                                     name="time_conv")(feats))
+        if S > 1 and "sweep_cat" in self.sweep_fusion:
+            feats = feats.transpose(0, 2, 1, 3).reshape(B, V, S * C)
+            feats = nn.relu(nn.Dense(self.embed_dims,
+                                     name="trans_conv")(feats))
+        else:
+            feats = feats.sum(axis=1)  # sweep_sum / single sweep
         # (B, V=X*Y*Z, C) x-major -> (B, Z, Y, X, C) = (B, D, H, W, C)
-        C = feats.shape[-1]
-        vol = feats.reshape(B, X, Y, Z, C).transpose(0, 3, 2, 1, 4)
+        vol = feats.reshape(B, X, Y, Z, -1).transpose(0, 3, 2, 1, 4)
         for k in range(self.num_convs):
             pad = [((s - 1) // 2, (s - 1) // 2) for s in self.kernel_size]
             vol = nn.Conv(self.embed_dims, self.kernel_size, padding=pad,
