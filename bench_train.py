@@ -2,16 +2,26 @@
 for the headline inference metric).
 
 Runs the full jitted train step — forward, on-device Pallas auction
-matching, losses, backward, AdamW — on the flagship SUN RGB-D config with
-synthetic scenes at real budgets, and prints steps/sec + scenes/sec.
+matching, losses, backward, AdamW — on the flagship SUN RGB-D config
+with synthetic scenes at real budgets.
+
+Methodology matches bench.py: N steps chained through the optimizer
+state inside ONE ``lax.scan`` program (strictly sequential, uncacheable,
+immune to the axon runtime's broken ``block_until_ready``), FLOPs from
+XLA cost analysis, and a hard assert that the implied TFLOP/s is below
+chip peak.
 """
 import json
 import time
 
 import numpy as np
 
+from bench import chip_peak_tflops
 
-def main(batch_size=2, iters=10):
+N_STEPS = 5
+
+
+def main(batch_size=2):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_compilation_cache", False)  # axon perf
@@ -38,21 +48,53 @@ def main(batch_size=2, iters=10):
     tx = make_optimizer(1e-4)
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch, tx)
     step = make_train_step(cfg, donate=False)
-    state, logs = step(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(logs["total_loss"])
-    ts = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(logs["total_loss"])
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
+
+    batch_dev = jax.device_put(batch)
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, i):
+            st, _ = carry
+            st, logs = step(st, batch_dev, jax.random.fold_in(key, i))
+            return (st, logs["total_loss"]), ()
+        (st, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), jnp.arange(N_STEPS))
+        return loss
+
+    # flops of one step = scan-program flops / N (avoids a second large
+    # compile of the bare step; the scan body IS the step)
+    flops = 0.0
+    lowered = run.lower(state, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0)) / N_STEPS
+    except Exception:
+        pass
+
+    loss = float(np.asarray(run(state, jax.random.PRNGKey(1))))  # warmup
+    t0 = time.perf_counter()
+    loss = float(np.asarray(run(state, jax.random.PRNGKey(2))))
+    dt = (time.perf_counter() - t0) / N_STEPS
+
+    kind = jax.devices()[0].device_kind
+    peak = chip_peak_tflops(kind)
+    implied_tflops = flops / dt / 1e12 if flops else 0.0
+    assert implied_tflops < peak, (
+        f"implied {implied_tflops:.1f} TFLOP/s exceeds {kind} peak {peak}"
+        " — measurement is broken, refusing to report")
     print(json.dumps({
         "metric": "sunrgbd_train_scenes_per_sec",
         "value": round(B / dt, 3),
         "unit": "scenes/sec/chip",
         "step_seconds": round(dt, 4),
-        "loss": round(float(logs["total_loss"]), 4),
+        "gflops_per_step": round(flops / 1e9, 1),
+        "implied_tflops": round(implied_tflops, 2),
+        "mfu": round(implied_tflops / peak, 5),
+        "chip": kind,
+        "loss": round(loss, 4),
     }))
 
 

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from ..ops.sparse_conv import (
     subm_neighbor_idx, gather_conv, downsample_sites, strided_neighbor_idx,
+    build_position_table,
 )
 from ..ops.voxelize import scatter_to_dense
 from .layers import MaskedBatchNorm
@@ -98,8 +99,12 @@ class SparseEncoderHD(nn.Module):
         grid = tuple(self.sparse_shape)
         x = feats.astype(self.compute_dtype)
 
-        nb = jax.vmap(subm_neighbor_idx, in_axes=(0, 0, None))(
+        # one dense position table per site set, shared by every rulebook
+        # of the stage (subm + the closing strided conv)
+        table = jax.vmap(build_position_table, in_axes=(0, 0, None))(
             coords, vmask, grid)
+        nb = jax.vmap(subm_neighbor_idx, in_axes=(0, 0, None, None, 0))(
+            coords, vmask, grid, 3, table)
         x = _SpConvBNReLU(self.base_channels, name="conv_input")(
             x, nb, vmask, train)
 
@@ -120,15 +125,20 @@ class SparseEncoderHD(nn.Module):
                     (g + 2 * p - 3) // 2 + 1 for g, p in zip(grid, pad))
                 sidx = jax.vmap(
                     strided_neighbor_idx,
-                    in_axes=(0, 0, 0, 0, None, None))(
-                        new_coords, new_mask, coords, vmask, grid, pad)
+                    in_axes=(0, 0, 0, 0, None, None, None, None, 0))(
+                        new_coords, new_mask, coords, vmask, grid, pad,
+                        2, 3, table)
                 x = _SpConv(blocks[-1], name=f"stage{i+1}_down")(x, sidx)
                 x = MaskedBatchNorm(name=f"stage{i+1}_down_bn")(
                     x, new_mask, train)
                 x = nn.relu(x)
                 coords, vmask, grid = new_coords, new_mask, new_grid
-                nb = jax.vmap(subm_neighbor_idx, in_axes=(0, 0, None))(
-                    coords, vmask, grid)
+                table = jax.vmap(
+                    build_position_table, in_axes=(0, 0, None))(
+                        coords, vmask, grid)
+                nb = jax.vmap(
+                    subm_neighbor_idx, in_axes=(0, 0, None, None, 0))(
+                        coords, vmask, grid, 3, table)
 
         # conv_out: 1x1x1 SparseConv == per-voxel dense layer
         x = nn.Dense(self.output_channels, use_bias=False,

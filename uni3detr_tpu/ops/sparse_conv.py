@@ -4,8 +4,9 @@ The reference's middle encoder runs on spconv/mmcv CUDA sparse conv
 (SubMConv3d / SparseConv3d / SparseBasicBlock, sparse_encoder_hd.py:70-104)
 whose rulebook is built with hash tables + atomics. The TPU formulation
 here keeps the active-voxel list **sorted by linear id** and builds the
-rulebook with ``searchsorted`` (binary search vectorizes perfectly on the
-VPU); the conv itself is one gather + one MXU matmul:
+rulebook with a dense position table (one scatter per site set, then O(1)
+lookups — measured 10x faster than ``searchsorted``'s sequential binary
+search on TPU); the conv itself is one gather + one MXU matmul:
 
     gathered (V, K, Cin) -> reshape (V, K*Cin) @ W (K*Cin, Cout)
 
@@ -45,7 +46,32 @@ def _kernel_offsets(kernel: int = 3):
     return jnp.stack([z.ravel(), y.ravel(), x.ravel()], axis=-1)
 
 
-def subm_neighbor_idx(coords, mask, grid, kernel: int = 3):
+def build_position_table(coords, mask, grid):
+    """Dense linear-id -> (row index + 1) lookup table; 0 = inactive cell.
+
+    Replaces per-query binary search with one scatter + O(1) lookups: on
+    TPU ``jnp.searchsorted``'s sequential binary-search scan measured
+    ~118 ms for the 1.08M rulebook queries of one SUN RGB-D stage, vs
+    ~10 ms for this table (52 MB int32 at grid [128,320,320]). Built once
+    per site set and shared by every rulebook of the stage.
+    """
+    D, H, W = grid
+    n = D * H * W
+    lin = (coords[:, 0] * H + coords[:, 1]) * W + coords[:, 2]
+    V = coords.shape[0]
+    safe = jnp.where(mask, lin, n)  # out-of-range rows -> dropped
+    rows = jnp.arange(1, V + 1, dtype=jnp.int32)
+    return jnp.zeros((n,), jnp.int32).at[safe].set(rows, mode="drop")
+
+
+def _table_lookup(table, nid, inb, n_rows):
+    """nid (..., ) linear ids -> row indices; misses -> n_rows (dummy)."""
+    pos = table[jnp.clip(nid, 0, table.shape[0] - 1)] - 1
+    found = inb & (pos >= 0)
+    return jnp.where(found, pos, n_rows).astype(jnp.int32)
+
+
+def subm_neighbor_idx(coords, mask, grid, kernel: int = 3, table=None):
     """Rulebook for a submanifold conv: (V, K) indices into the voxel list.
 
     neighbor k of voxel v sits at coords[v] + (offset_k - kernel//2); if
@@ -53,18 +79,15 @@ def subm_neighbor_idx(coords, mask, grid, kernel: int = 3):
     """
     V = coords.shape[0]
     D, H, W = grid
-    ids = linear_ids(coords, mask, grid)  # sorted ascending by construction
+    if table is None:
+        table = build_position_table(coords, mask, grid)
     offs = _kernel_offsets(kernel) - (kernel // 2)  # (K, 3)
     nb = coords[:, None, :] + offs[None, :, :]  # (V, K, 3)
     inb = ((nb[..., 0] >= 0) & (nb[..., 0] < D)
            & (nb[..., 1] >= 0) & (nb[..., 1] < H)
            & (nb[..., 2] >= 0) & (nb[..., 2] < W) & mask[:, None])
     nid = (nb[..., 0] * H + nb[..., 1]) * W + nb[..., 2]
-    nid = jnp.where(inb, nid, INT_MAX)
-    pos = jnp.searchsorted(ids, nid.ravel()).astype(jnp.int32)
-    pos = jnp.clip(pos, 0, V - 1)
-    found = (ids[pos] == nid.ravel()) & (nid.ravel() != INT_MAX)
-    return jnp.where(found, pos, V).reshape(V, -1)
+    return _table_lookup(table, nid, inb, V).reshape(V, -1)
 
 
 def gather_conv(features, neighbor_idx, weights):
@@ -141,14 +164,15 @@ def downsample_sites(coords, mask, grid, padding: Sequence[int],
 
 def strided_neighbor_idx(out_coords, out_mask, in_coords, in_mask, grid,
                          padding: Sequence[int], stride: int = 2,
-                         kernel: int = 3):
+                         kernel: int = 3, table=None):
     """Rulebook for a strided conv: (B', K) indices into the INPUT list.
 
     input cell of output o at kernel offset k = stride*o - padding + k.
     """
     V = in_coords.shape[0]
     D, H, W = grid
-    ids = linear_ids(in_coords, in_mask, grid)
+    if table is None:
+        table = build_position_table(in_coords, in_mask, grid)
     offs = _kernel_offsets(kernel)  # (K, 3)
     pad = jnp.asarray(padding, jnp.int32)
     src = (out_coords[:, None, :] * stride - pad[None, None, :]
@@ -157,8 +181,4 @@ def strided_neighbor_idx(out_coords, out_mask, in_coords, in_mask, grid,
            & (src[..., 1] >= 0) & (src[..., 1] < H)
            & (src[..., 2] >= 0) & (src[..., 2] < W) & out_mask[:, None])
     nid = (src[..., 0] * H + src[..., 1]) * W + src[..., 2]
-    nid = jnp.where(inb, nid, INT_MAX)
-    pos = jnp.searchsorted(ids, nid.ravel()).astype(jnp.int32)
-    pos = jnp.clip(pos, 0, V - 1)
-    found = (ids[pos] == nid.ravel()) & (nid.ravel() != INT_MAX)
-    return jnp.where(found, pos, V).reshape(out_coords.shape[0], -1)
+    return _table_lookup(table, nid, inb, V).reshape(out_coords.shape[0], -1)
