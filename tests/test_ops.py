@@ -100,6 +100,22 @@ def test_fps_against_oracle():
     assert (idx[1] < 40).all()
 
 
+def test_fps_pallas_matches_xla():
+    """The Pallas FPS kernel (TPU fast path, run here in interpret mode)
+    must select the exact same indices as the XLA formulation."""
+    from uni3detr_tpu.ops.fps import (farthest_point_sample_pallas,
+                                      farthest_point_sample_xla)
+    rng = np.random.RandomState(5)
+    xyz = rng.randn(2, 200, 3).astype(np.float32)
+    mask = np.ones((2, 200), bool)
+    mask[1, 150:] = False
+    ref = np.asarray(farthest_point_sample_xla(
+        jnp.asarray(xyz), jnp.asarray(mask), 16))
+    got = np.asarray(farthest_point_sample_pallas(
+        jnp.asarray(xyz), jnp.asarray(mask), 16, interpret=True))
+    assert (ref == got).all()
+
+
 def test_grid_sample_3d_against_torch():
     import torch
     import torch.nn.functional as F
