@@ -17,3 +17,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: this machine has ONE cpu core, so cold
+# XLA compiles dominate suite wall-time (8+ min for the OV multimodal
+# forward). Cached executables make repeat runs fast. (bench.py disables
+# the cache on the axon TPU backend where deserialized executables hit a
+# pathological slow path — that issue is backend-specific; CPU is fine.)
+_cache = os.environ.get("JAX_TEST_CACHE",
+                        os.path.expanduser("~/.cache/uni3detr_jax_cache"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

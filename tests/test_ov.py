@@ -153,3 +153,68 @@ def test_gridmask_masks_pixels():
     s = {"images": np.ones((1, 16, 16, 3), np.float32)}
     out = pipe(s, np.random.default_rng(0))
     assert out["images"].min() == 0.0 and out["images"].max() == 1.0
+
+
+def test_image_aug_alignment_golden():
+    """Project world points through an ImageRandomResizeCropFlip-augmented
+    image and recover the same sampled features as the un-augmented path
+    (VERDICT #4 golden test; reference transform_3d.py:244-322 +
+    uni3d_viewtrans.py:312-322).
+
+    The feature map is a linear ramp f(u, v) = u + 10*v in original pixel
+    coords, so bilinear sampling is exact at any sub-pixel location and
+    survives half-pixel-centered resize/flip/crop exactly.
+    """
+    from uni3detr_tpu.data.pipeline import build_pipeline
+    from uni3detr_tpu.models.view_trans import sample_camera_features
+
+    H, W, DD = 32, 48, 4
+    uu, vv = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    ramp = (uu + 10.0 * vv).astype(np.float32)  # value at pixel centers
+    img = np.stack([ramp] * 3, -1)  # (H, W, 3)
+
+    rng = np.random.default_rng(3)
+    sample = {"images": img[None]}  # (N=1, H, W, 3)
+    pipe = build_pipeline(
+        [dict(type="ImageRandomResizeCropFlip", flip_ratio=1.0,
+              resize_scales=(0.5, 0.5), crop_sizes=(12, 16))],
+        ctx={})
+    sample = pipe(sample, rng)
+    rot, trans = sample["img_rot_aug"], sample["img_trans_aug"]
+    aug_img = sample["images"]
+    assert aug_img.shape == (1, 12, 16, 3)
+    # flip applied with ratio 1.0 -> rot = diag(0.5, 0.5) @ diag(-1, 1)
+    np.testing.assert_allclose(rot, np.diag([-0.5, 0.5]), atol=1e-6)
+
+    K = np.array([[24.0, 0, W / 2, 0], [0, 24.0, H / 2, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    l2i = jnp.asarray(K[None, None])
+    uniform = lambda h, w: np.full((1, 1, h, w, DD), 1.0 / DD, np.float32)
+
+    # world points whose aug'd projections land inside the crop
+    ref = []
+    ah, aw = aug_img.shape[1:3]
+    for _ in range(64):
+        u2 = np.random.uniform(1.0, aw - 1.0)
+        v2 = np.random.uniform(1.0, ah - 1.0)
+        # invert pixel aug to original coords: p = (p' - t) @ inv(rot)
+        uv0 = (np.array([u2, v2]) - trans) @ np.linalg.inv(rot)
+        z = np.random.uniform(1.0, 3.0)
+        x = (uv0[0] - K[0, 2]) * z / K[0, 0]
+        y = (uv0[1] - K[1, 2]) * z / K[1, 1]
+        ref.append([x, y, z])
+    ref = jnp.asarray(np.asarray(ref, np.float32)[None])
+
+    base = sample_camera_features(
+        [jnp.asarray(img[None, None])], jnp.asarray(uniform(H, W)),
+        ref, l2i, (H, W))
+    lifted = sample_camera_features(
+        [jnp.asarray(aug_img[None])], jnp.asarray(uniform(ah, aw)),
+        ref, l2i, (ah, aw),
+        img_rot_aug=jnp.asarray(rot[None]),
+        img_trans_aug=jnp.asarray(trans[None]))
+    b = np.asarray(base[0, 0, :, 0])
+    a = np.asarray(lifted[0, 0, :, 0])
+    # every point visible in both paths must agree; cropping may mask a
+    # point in neither path here by construction
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)

@@ -3,8 +3,8 @@ data/kitti`` etc.
 
 Capability parity with the reference extra_tools/create_data.py +
 data_converter/: info-pkl generation (KITTI from the raw layout; nuScenes
-via the devkit, gated on its availability — this image has no
-nuscenes-devkit) and GT-database creation for the ObjectSample
+devkit-free via a direct walk of the raw JSON tables — see
+data/nuscenes_converter.py) and GT-database creation for the ObjectSample
 augmentation (create_unified_gt_database.py:17-262). SUN RGB-D / ScanNet
 info pkls come from the standard mmdet3d preprocessing and are consumed
 as-is.
@@ -94,10 +94,14 @@ def create_kitti_infos(root, split_file, out_path):
     print(f"wrote {len(infos)} infos -> {out_path}")
 
 
-def create_gt_database(config_path, out_dir, cfg_options=()):
+def create_gt_database(config_path, out_dir, cfg_options=(),
+                       with_image_crops=False):
     """Crop per-GT point sets from the train split and write
     <prefix>_dbinfos_train.pkl + per-object .bin files (reference
-    create_unified_gt_database.py:70-180, lidar-only path)."""
+    create_unified_gt_database.py:70-180). With ``with_image_crops`` (and
+    a camera-enabled dataset) also saves each object's projected 2D-bbox
+    image patch (":106-180" multi-view crop path) for
+    ObjectSample(sample_2d=True) pasting."""
     from ..config import load_config, merge_cfg_options, build_model_config
     from ..data.datasets import build_dataset
     from ..data import box_np_ops
@@ -106,7 +110,9 @@ def create_gt_database(config_path, out_dir, cfg_options=()):
     cfg = merge_cfg_options(cfg, list(cfg_options))
     mc = build_model_config(cfg)
     data_cfg = dict(cfg.data)
-    data_cfg["train_pipeline"] = []  # raw samples, no augmentation
+    # raw samples, no augmentation (images only if crops requested)
+    data_cfg["train_pipeline"] = (
+        [dict(type="LoadImageFromFile")] if with_image_crops else [])
     ds = build_dataset(data_cfg, cfg.class_names, mc.pc_range, "train")
     os.makedirs(os.path.join(out_dir, "gt_database"), exist_ok=True)
     db = {c: [] for c in cfg.class_names}
@@ -116,6 +122,10 @@ def create_gt_database(config_path, out_dir, cfg_options=()):
         if not len(boxes):
             continue
         inside = box_np_ops.points_in_rbbox(pts[:, :3], boxes[:, :7])
+        crop_paths = [None] * len(boxes)
+        if with_image_crops and s.get("images") is not None:
+            crop_paths = _save_image_crops(
+                s, boxes, labels, cfg.class_names, out_dir, i)
         for j in range(len(boxes)):
             obj = pts[inside[:, j]]
             if not len(obj):
@@ -125,12 +135,15 @@ def create_gt_database(config_path, out_dir, cfg_options=()):
             name = cfg.class_names[labels[j]]
             rel = f"gt_database/{i}_{name}_{j}.bin"
             obj.astype(np.float32).tofile(os.path.join(out_dir, rel))
-            db[name].append({
+            rec = {
                 "name": name, "path": rel,
                 "box3d_lidar": boxes[j, :7].astype(np.float32),
                 "num_points_in_gt": int(len(obj)),
                 "difficulty": -1,
-            })
+            }
+            if crop_paths[j]:
+                rec["img_crop_path"] = crop_paths[j]
+            db[name].append(rec)
         if (i + 1) % 100 == 0:
             print(f"[{i+1}/{len(ds)}]")
     out = os.path.join(out_dir, "dbinfos_train.pkl")
@@ -139,17 +152,48 @@ def create_gt_database(config_path, out_dir, cfg_options=()):
     print(f"wrote {sum(len(v) for v in db.values())} objects -> {out}")
 
 
-def create_nuscenes_infos(root, version, out_path):
-    try:
-        from nuscenes.nuscenes import NuScenes  # noqa: F401
-    except ImportError:
-        raise SystemExit(
-            "nuscenes-devkit is not installed in this environment; "
-            "generate nuscenes_infos_*.pkl with the standard devkit "
-            "preprocessing (the loader consumes the reference schema: "
-            "infos with lidar_path / sweeps / gt_boxes / gt_names / "
-            "gt_velocity / valid_flag).")
-    raise NotImplementedError("devkit present but converter not wired yet")
+def _save_image_crops(sample, boxes, labels, class_names, out_dir, idx):
+    """Project each GT box into the first view it is visible in and save
+    the 2D-bbox patch as a png; returns per-box relative paths."""
+    from PIL import Image
+    from ..data import box_np_ops
+    imgs = sample["images"]
+    l2is = np.asarray(sample["lidar2img"], np.float32)
+    corners = box_np_ops.corners_3d(boxes[:, :7])
+    hom = np.concatenate([corners, np.ones_like(corners[..., :1])], -1)
+    out = [None] * len(boxes)
+    for v in range(len(imgs)):
+        H, W = imgs[v].shape[:2]
+        cp = hom @ l2is[v].T
+        depth = cp[..., 2]
+        vis = (depth > 0).all(-1)
+        uv = cp[..., :2] / np.maximum(depth[..., None], 1e-5)
+        bb = np.concatenate([uv.min(1), uv.max(1)], -1).astype(int)
+        bb[:, 0::2] = np.clip(bb[:, 0::2], 0, W - 1)
+        bb[:, 1::2] = np.clip(bb[:, 1::2], 0, H - 1)
+        ok = vis & ((bb[:, 2:] - bb[:, :2]) > 1).all(-1)
+        for j in np.nonzero(ok)[0]:
+            if out[j] is not None:
+                continue
+            x0, y0, x1, y1 = bb[j]
+            patch = np.clip(imgs[v][y0:y1, x0:x1], 0, 255)
+            name = class_names[labels[j]]
+            rel = f"gt_database/{idx}_{name}_{j}.png"
+            Image.fromarray(patch.astype(np.uint8)).save(
+                os.path.join(out_dir, rel))
+            out[j] = rel
+    return out
+
+
+def create_nuscenes_infos(root, version, out_dir=None, max_sweeps=10,
+                          train_scene_file=None, val_scene_file=None):
+    """Devkit-free nuScenes converter: walks the raw JSON tables directly
+    (reference nuscenes_converter.py:148-305 semantics; see
+    uni3detr_tpu/data/nuscenes_converter.py). The official trainval split
+    lists can be passed as plain text files of scene names."""
+    from ..data.nuscenes_converter import create_nuscenes_infos as conv
+    return conv(root, version, out_dir, max_sweeps,
+                train_scene_file, val_scene_file)
 
 
 def main():
@@ -161,9 +205,15 @@ def main():
     g = sub.add_parser("gt_database")
     g.add_argument("config")
     g.add_argument("--out-dir", required=True)
+    g.add_argument("--with-image-crops", action="store_true")
     n = sub.add_parser("nuscenes")
     n.add_argument("--root", required=True)
     n.add_argument("--version", default="v1.0-trainval")
+    n.add_argument("--out-dir", default=None)
+    n.add_argument("--max-sweeps", type=int, default=10)
+    n.add_argument("--train-scenes", default=None,
+                   help="text file of scene names (one per line)")
+    n.add_argument("--val-scenes", default=None)
     args = p.parse_args()
     if args.cmd == "kitti":
         split_file = os.path.join(args.root, "ImageSets",
@@ -172,9 +222,12 @@ def main():
                            os.path.join(args.root,
                                         f"kitti_infos_{args.split}.pkl"))
     elif args.cmd == "gt_database":
-        create_gt_database(args.config, args.out_dir)
+        create_gt_database(args.config, args.out_dir,
+                           with_image_crops=args.with_image_crops)
     else:
-        create_nuscenes_infos(args.root, args.version, None)
+        create_nuscenes_infos(args.root, args.version, args.out_dir,
+                              args.max_sweeps, args.train_scenes,
+                              args.val_scenes)
 
 
 if __name__ == "__main__":

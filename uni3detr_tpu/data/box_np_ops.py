@@ -29,6 +29,19 @@ def corners_bev(boxes):
     return np.einsum("nij,nkj->nki", rot, corners) + boxes[:, None, :2]
 
 
+def corners_3d(boxes):
+    """(N, >=7) storage boxes -> (N, 8, 3) corners: the 4 BEV corners at
+    z_bottom then at z_bottom + dz."""
+    bev = corners_bev(boxes)  # (N, 4, 2)
+    z0 = boxes[:, 2:3]
+    z1 = z0 + boxes[:, 5:6]
+    lo = np.concatenate([bev, np.broadcast_to(z0[:, None],
+                                              bev.shape[:2] + (1,))], -1)
+    hi = np.concatenate([bev, np.broadcast_to(z1[:, None],
+                                              bev.shape[:2] + (1,))], -1)
+    return np.concatenate([lo, hi], 1)
+
+
 def points_in_rbbox(points, boxes, z_origin="bottom"):
     """(P, >=3) x (N, 7) -> (P, N) bool membership mask."""
     if len(boxes) == 0 or len(points) == 0:

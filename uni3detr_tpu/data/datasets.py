@@ -24,6 +24,22 @@ def _load_points(path, load_dim, use_dim):
     return pts[:, list(use_dim)]
 
 
+def _lidar2img(cam_info):
+    """4x4 lidar->image matrix from a converter cam record (reference
+    nuscenes_dataset.py:243-254: invert sensor2lidar, pad intrinsics)."""
+    r = np.asarray(cam_info["sensor2lidar_rotation"], np.float64)
+    t = np.asarray(cam_info["sensor2lidar_translation"], np.float64)
+    lidar2cam_r = np.linalg.inv(r)
+    lidar2cam_t = t @ lidar2cam_r.T
+    rt = np.eye(4)
+    rt[:3, :3] = lidar2cam_r.T
+    rt[3, :3] = -lidar2cam_t
+    viewpad = np.eye(4)
+    K = np.asarray(cam_info["cam_intrinsic"], np.float64)
+    viewpad[:K.shape[0], :K.shape[1]] = K
+    return (viewpad @ rt.T).astype(np.float32)
+
+
 def _shift_height(points):
     """Append the height-above-floor feature (mmdet3d shift_height:
     floor = 0.99-quantile of lowest z)."""
@@ -59,6 +75,10 @@ class DetDataset:
 
     def __len__(self):
         return len(self.infos)
+
+    def _rel(self, path):
+        return path if os.path.isabs(path) \
+            else os.path.join(self.data_root, path)
 
     # --- per-dataset info parsing -------------------------------------
     def _parse(self, info) -> dict:
@@ -110,6 +130,13 @@ class DetDataset:
                 path = os.path.join(self.data_root, path)
             boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))),
                                np.float32)
+            if len(boxes):
+                # info boxes carry gravity-center z (devkit convention);
+                # storage layout is bottom-z (reference wraps with
+                # origin=(0.5, 0.5, 0.5) and converts,
+                # nuscenes_dataset.py get_ann_info)
+                boxes = boxes.copy()
+                boxes[:, 2] -= boxes[:, 5] / 2.0
             vel = np.asarray(info.get("gt_velocity",
                                       np.zeros((len(boxes), 2))),
                              np.float32)
@@ -126,6 +153,25 @@ class DetDataset:
                 [self.class_names.index(names[i]) for i in keep], np.int32)
             meta["sweeps"] = info.get("sweeps", [])
             meta["timestamp"] = info.get("timestamp", 0)
+            meta["token"] = info.get("token")
+            if self.use_camera and info.get("cams"):
+                # per-cam lidar2img from sensor2lidar pose + intrinsics
+                # (reference nuscenes_dataset.py:236-265)
+                img_paths, l2is, cam_sweeps = [], [], []
+                for cam, ci in info["cams"].items():
+                    img_paths.append(self._rel(ci["data_path"]))
+                    l2is.append(_lidar2img(ci))
+                    chain = info.get("cam_sweeps_info", {}).get(cam, [])
+                    # chain[0] is the keyframe itself when non-empty
+                    # (nuscenes_dataset.py:328-332 strips it)
+                    sw = [{"data_path": self._rel(s["data_path"]),
+                           "lidar2img": _lidar2img(s),
+                           "timestamp": s.get("timestamp", 0)}
+                          for s in chain[1:]]
+                    cam_sweeps.append(sw)
+                meta["img_paths"] = img_paths
+                meta["lidar2img"] = np.stack(l2is)
+                meta["cam_sweeps"] = cam_sweeps
         else:
             raise KeyError(t)
         return dict(path=path, gt_boxes=boxes, gt_labels=labels, meta=meta)
@@ -302,4 +348,15 @@ def collate_batch(samples: List[dict], num_points: int, max_gt: int,
             [np.asarray(s["lidar2img"], np.float32) for s in samples])
         batch["uni_rot_aug"] = np.stack(
             [np.asarray(s["uni_rot_aug"], np.float32) for s in samples])
+        if "sweep_times" in samples[0]:
+            batch["sweep_times"] = np.stack(
+                [np.asarray(s["sweep_times"], np.float32)
+                 for s in samples])
+        if "img_rot_aug" in samples[0]:
+            batch["img_rot_aug"] = np.stack(
+                [np.asarray(s["img_rot_aug"], np.float32)
+                 for s in samples])
+            batch["img_trans_aug"] = np.stack(
+                [np.asarray(s["img_trans_aug"], np.float32)
+                 for s in samples])
     return batch, metas

@@ -308,29 +308,68 @@ class LoadPointsFromMultiSweeps:
 
 
 @register("LoadImageFromFile")
+@register("LoadMultiViewImageFromFiles")
+@register("LoadMultiViewMultiSweepImageFromFilesIndoor")
+@register("LoadMultiViewMultiSweepImageFromFiles")
 class LoadImageFromFile:
     """Load the sample's image(s) and build per-view lidar2img.
 
-    reference: indoor multi-view loaders (loading_3d.py:26-83) — for
-    SUN RGB-D a single view with lidar2img = [K @ Rt | 0] from the info
-    calib. The dataset parser stashes 'img_path' / 'K' / 'Rt' in meta.
+    Covers the reference loaders (loading_3d.py:26-83 indoor single-view,
+    :110-190 outdoor multi-view + camera sweeps): the dataset parser
+    stashes 'img_paths' (N), 'lidar2img' (N, 4, 4), and optionally
+    'cam_sweeps' (per-cam list of {data_path, lidar2img, timestamp}) in
+    meta. With ``sweep_num`` S > 1, previous camera frames are appended
+    **sweep-major** — images laid out [sweep0 cams | sweep1 cams | ...]
+    with matching per-view lidar2img — which is the layout
+    ``Uni3DViewTrans(num_sweeps=S)`` consumes; missing sweeps pad with
+    the last available frame (reference nuscenes_dataset.py:313-323).
+    Also records ``sweep_times`` (S,) second lags for with_time fusion.
     """
 
-    def __init__(self, ctx, to_float32=True):
+    def __init__(self, ctx, to_float32=True, sweep_num=1,
+                 random_sweep=False):
         self.to_float32 = to_float32
+        self.sweep_num = sweep_num
+        self.random_sweep = random_sweep
+
+    def _read(self, p):
+        from PIL import Image
+        im = np.asarray(Image.open(p).convert("RGB"))
+        return im.astype(np.float32) if self.to_float32 else im
 
     def __call__(self, sample, rng):
         meta = sample.get("meta", {})
         paths = meta.get("img_paths")
         if not paths:
             return sample
-        from PIL import Image
-        imgs = []
-        for p in paths:
-            im = np.asarray(Image.open(p).convert("RGB"))
-            imgs.append(im.astype(np.float32) if self.to_float32 else im)
+        imgs = [self._read(p) for p in paths]
+        l2i = [np.asarray(m, np.float32)
+               for m in np.asarray(meta["lidar2img"], np.float32)]
+        times = [0.0]
+        if self.sweep_num > 1:
+            n_sweeps = self.sweep_num - 1
+            if self.random_sweep:
+                n_sweeps = int(rng.integers(0, self.sweep_num))
+            chains = meta.get("cam_sweeps") or [[] for _ in paths]
+            t0 = meta.get("timestamp", 0)
+            for s in range(n_sweeps):
+                lag = 0.0
+                for c, chain in enumerate(chains):
+                    if s < len(chain):
+                        rec = chain[s]
+                        imgs.append(self._read(rec["data_path"]))
+                        l2i.append(np.asarray(rec["lidar2img"],
+                                              np.float32))
+                        lag = (t0 - rec.get("timestamp", t0)) * 1e-6
+                    else:  # pad with the most recent frame for this cam
+                        nc = len(paths)
+                        imgs.append(imgs[s * nc + c])
+                        l2i.append(l2i[s * nc + c])
+                times.append(lag)
         sample["images"] = np.stack(imgs)
-        sample["lidar2img"] = np.asarray(meta["lidar2img"], np.float32)
+        sample["lidar2img"] = np.stack(l2i)
+        if len(times) > 1:
+            sample["sweep_times"] = np.asarray(times, np.float32)
         sample.setdefault("uni_rot_aug", np.eye(3, dtype=np.float32))
         return sample
 
@@ -404,6 +443,64 @@ class ResizeImage:
         return sample
 
 
+@register("ImageRandomResizeCropFlip")
+class ImageRandomResizeCropFlip:
+    """Random image resize + horizontal flip + bottom crop, recording the
+    accumulated pixel-space transform as ``img_rot_aug`` (2x2) and
+    ``img_trans_aug`` (2,) so the view transformer can map projected
+    points from original-camera pixel coords into augmented-image coords
+    (reference transform_3d.py:244-322; accumulation at :309-320; the
+    lift applies ``uv @ img_rot_aug + img_trans_aug``,
+    uni3d_viewtrans.py:312-322).
+
+    Forward pixel map: resize by s, then flip u -> W_resized - u, then
+    shift by the crop origin. All component matrices are diagonal, so
+    the reference's ``scale_mat @ flip_rot`` row-vector composition is
+    exact and reproduced here.
+    """
+
+    def __init__(self, ctx, flip_ratio=None, resize_scales=None,
+                 crop_sizes=None, training=True):
+        self.flip_ratio = flip_ratio
+        self.resize_scales = resize_scales
+        self.crop_sizes = crop_sizes  # (H, W)
+        self.training = training
+
+    def __call__(self, sample, rng):
+        imgs = sample.get("images")
+        if imgs is None:
+            return sample
+        rot = np.eye(2, dtype=np.float32)
+        trans = np.zeros(2, np.float32)
+        if self.resize_scales is not None:
+            import cv2
+            s = float(rng.uniform(*self.resize_scales))
+            N, H, W, C = imgs.shape
+            nh, nw = int(H * s), int(W * s)
+            imgs = np.stack([cv2.resize(im, (nw, nh)) for im in imgs])
+            rot = rot @ np.diag([s, s]).astype(np.float32)
+        if self.flip_ratio is not None and self.training \
+                and rng.random() < self.flip_ratio:
+            imgs = imgs[:, :, ::-1].copy()
+            W = imgs.shape[2]
+            rot = rot @ np.diag([-1.0, 1.0]).astype(np.float32)
+            trans = trans + np.array([W, 0], np.float32)
+        if self.crop_sizes is not None:
+            N, H, W, C = imgs.shape
+            ch, cw = self.crop_sizes
+            start_h = max(0, H - ch)  # crop from image bottom (:282)
+            if self.training:
+                start_w = int(rng.uniform(0, max(0, W - cw)))
+            else:
+                start_w = max(0, W - cw) // 2
+            imgs = imgs[:, start_h:start_h + ch, start_w:start_w + cw]
+            trans = trans + np.array([-start_w, -start_h], np.float32)
+        sample["images"] = imgs
+        sample["img_rot_aug"] = rot
+        sample["img_trans_aug"] = trans
+        return sample
+
+
 @register("PhotoMetricDistortion")
 @register("PhotoMetricDistortionMultiViewImage")
 class PhotoMetricDistortion:
@@ -474,14 +571,23 @@ class GridMaskTransform:
 
 
 @register("ObjectSample")
+@register("UnifiedObjectSample")
 class ObjectSample:
     """GT-database copy-paste augmentation (reference
     UnifiedDataBaseSampler, dbsampler.py:17-270): class quotas, min-points
     filter, BEV collision rejection against existing + already-sampled
-    boxes, background points inside pasted boxes removed."""
+    boxes, background points inside pasted boxes removed.
+
+    With ``sample_2d=True`` also pastes each sampled object's stored image
+    crop into the camera views by descending depth order (reference
+    UnifiedObjectSample.unified_sample, transform_3d.py:692-774): every
+    box — raw and sampled — is projected to a 2D bbox; raw boxes re-stitch
+    their own pixels and sampled boxes paste the (resized) database crop,
+    so nearer objects overwrite farther ones."""
 
     def __init__(self, ctx, db_info_path, rate=1.0, sample_groups=None,
-                 min_points=None, difficulty=(-1,)):
+                 min_points=None, difficulty=(-1,), sample_2d=False,
+                 sample_method="depth"):
         import pickle
         import os
         self.classes = list(ctx["class_names"])
@@ -493,6 +599,8 @@ class ObjectSample:
         self.min_points = min_points or {}
         self.difficulty = set(difficulty)
         self.data_root = ctx.get("data_root", "")
+        self.sample_2d = sample_2d
+        self.sample_method = sample_method
 
     def _lazy_load(self):
         import pickle
@@ -515,7 +623,7 @@ class ObjectSample:
         labels = sample.get("gt_labels")
         if boxes is None:
             return sample
-        new_boxes, new_labels, new_points = [], [], []
+        new_boxes, new_labels, new_points, new_crops = [], [], [], []
         avoid = boxes[:, :7].copy()
         for cls, quota in self.groups.items():
             if cls not in self.classes or not self.db.get(cls):
@@ -543,6 +651,7 @@ class ObjectSample:
                 new_boxes.append(b[0])
                 new_labels.append(cls_id)
                 new_points.append(p)
+                new_crops.append(self._load_crop(info))
                 avoid = np.concatenate([avoid, b[:, :7]])
                 taken += 1
         if new_boxes:
@@ -559,4 +668,69 @@ class ObjectSample:
             sample["gt_boxes"] = np.concatenate([boxes, nb])
             sample["gt_labels"] = np.concatenate(
                 [labels, np.asarray(new_labels, labels.dtype)])
+            if self.sample_2d and sample.get("images") is not None:
+                self._paste_crops(sample, new_crops)
         return sample
+
+    def _load_crop(self, info):
+        if not self.sample_2d or "img_crop_path" not in info:
+            return None
+        import os
+        from PIL import Image
+        p = os.path.join(self.data_root, info["img_crop_path"])
+        try:
+            return np.asarray(Image.open(p).convert("RGB"),
+                              dtype=np.float32)
+        except OSError:
+            return None
+
+    def _paste_crops(self, sample, crops):
+        """Depth-ordered 2D paste (transform_3d.py:692-774). All GT boxes
+        (raw first, the len(crops) sampled ones last) project to 2D
+        bboxes per view; farthest paste first so nearer content wins."""
+        import cv2
+        imgs = sample["images"]
+        l2is = np.asarray(sample["lidar2img"], np.float32)
+        boxes = sample["gt_boxes"]
+        n_samp = len(crops)
+        n_raw = len(boxes) - n_samp
+        corners = box_np_ops.corners_3d(boxes[:, :7])  # (G, 8, 3)
+        hom = np.concatenate(
+            [corners, np.ones_like(corners[..., :1])], -1)
+        for v in range(len(imgs)):
+            img = imgs[v]
+            H, W = img.shape[:2]
+            cp = hom @ l2is[v].T  # (G, 8, 4)
+            depth = cp[..., 2]
+            vis = (depth > 0).all(-1)
+            if not vis.any():
+                continue
+            uv = cp[..., :2] / np.maximum(depth[..., None], 1e-5)
+            mn = uv.min(1)
+            mx = uv.max(1)
+            bb = np.concatenate([mn, mx], -1).astype(int)
+            bb[:, 0::2] = np.clip(bb[:, 0::2], 0, W - 1)
+            bb[:, 1::2] = np.clip(bb[:, 1::2], 0, H - 1)
+            ok = vis & ((bb[:, 2:] - bb[:, :2]) > 1).all(-1)
+            idx = np.nonzero(ok)[0]
+            if not len(idx):
+                continue
+            if "depth" in self.sample_method:
+                order = np.argsort(depth.mean(1)[idx])[::-1]
+                idx = idx[order]
+            # crop the raw boxes' pixels before any paste overwrites them
+            raw_px = {int(g): img[bb[g, 1]:bb[g, 3],
+                                  bb[g, 0]:bb[g, 2]].copy()
+                      for g in idx if g < n_raw}
+            for g in idx:
+                x0, y0, x1, y1 = bb[g]
+                if g < n_raw:
+                    img[y0:y1, x0:x1] = raw_px[int(g)]
+                else:
+                    crop = crops[g - n_raw]
+                    if crop is None or crop.size == 0:
+                        continue
+                    img[y0:y1, x0:x1] = cv2.resize(
+                        crop, (x1 - x0, y1 - y0)).astype(img.dtype)
+            imgs[v] = img
+        sample["images"] = imgs

@@ -82,6 +82,8 @@ class OVUni3DETRConfig(Uni3DETRConfig):
     use_camera: bool = True
     multimodal: bool = True
     num_cams: int = 1
+    num_sweeps: int = 1  # camera sweeps; image axis laid out (S * cams)
+    sweep_fusion: str = "sweep_sum"  # sweep_sum | sweep_cat | with_time
     img_size: Tuple[int, int] = (480, 640)  # (H, W) padded input
     depth_dim: int = 64
     num_view_convs: int = 3

@@ -66,7 +66,8 @@ class OV_Uni3DETR(nn.Module):
         return fused, jnp.concatenate([fps1, fps2], 1), grid
 
     def _img_volume(self, images, lidar2img, uni_rot_aug, voxel_shape,
-                    train):
+                    train, img_rot_aug=None, img_trans_aug=None,
+                    sweep_times=None):
         """images (B, N, H, W, 3) -> (B, D, H', W', C) voxel volume."""
         cfg = self.cfg
         dtype = cfg.jnp_compute_dtype
@@ -88,9 +89,13 @@ class OV_Uni3DETR(nn.Module):
         vt = Uni3DViewTrans(
             voxel_shape=voxel_shape, pc_range=tuple(cfg.pc_range),
             embed_dims=cfg.embed_dim, num_convs=cfg.num_view_convs,
-            kernel_size=tuple(cfg.view_kernel), name="view_trans")
+            kernel_size=tuple(cfg.view_kernel),
+            num_sweeps=cfg.num_sweeps, sweep_fusion=cfg.sweep_fusion,
+            name="view_trans")
         return vt(mlvl, depths, lidar2img, uni_rot_aug,
-                  (cfg.img_size[0], cfg.img_size[1]), train)
+                  (cfg.img_size[0], cfg.img_size[1]), train,
+                  sweep_times=sweep_times,
+                  img_rot_aug=img_rot_aug, img_trans_aug=img_trans_aug)
 
     @nn.compact
     def __call__(self, batch, train: bool = False, random_points=None):
@@ -118,7 +123,10 @@ class OV_Uni3DETR(nn.Module):
             D, Hh, Ww = grid
             img_feat = self._img_volume(
                 batch["images"], batch["lidar2img"], batch["uni_rot_aug"],
-                (Ww, Hh, D), train).astype(dtype)
+                (Ww, Hh, D), train,
+                img_rot_aug=batch.get("img_rot_aug"),
+                img_trans_aug=batch.get("img_trans_aug"),
+                sweep_times=batch.get("sweep_times")).astype(dtype)
 
         if use_pts and use_img:
             if train:

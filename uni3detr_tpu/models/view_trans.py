@@ -41,13 +41,18 @@ def make_reference_voxels(voxel_shape, pc_range):
 
 
 def sample_camera_features(mlvl_feats, img_depth, ref_voxels, lidar2img,
-                           img_shape):
+                           img_shape, img_rot_aug=None, img_trans_aug=None):
     """Lift multi-level camera features into the voxel set.
 
     mlvl_feats: list of (B, N_cam, Hl, Wl, C); img_depth: (B, N_cam, Hd,
     Wd, DD) softmax depth distribution at the first level's resolution per
     level list or single; ref_voxels (B, V, 3) world coords (already
     inverse-augmented); lidar2img (B, N_cam, 4, 4); img_shape (H, W).
+    img_rot_aug (B, 2, 2) / img_trans_aug (B, 2): accumulated image-level
+    augmentation (resize/flip/crop) applied to projected pixel coords as
+    ``uv @ rot + trans`` before normalization — matching the reference's
+    "transfer if have image-level augmentation" block
+    (uni3d_viewtrans.py:312-322); img_shape is the post-aug shape.
     Returns (B, V, C).
     """
     B, N = lidar2img.shape[:2]
@@ -59,6 +64,11 @@ def sample_camera_features(mlvl_feats, img_depth, ref_voxels, lidar2img,
     depth = cam[..., 2:3]
     mask = depth[..., 0] > eps
     uv = cam[..., :2] / jnp.maximum(depth, eps)
+    if img_rot_aug is not None:
+        uv = jnp.einsum("bnvj,bji->bnvi", uv,
+                        img_rot_aug.astype(uv.dtype))
+    if img_trans_aug is not None:
+        uv = uv + img_trans_aug.astype(uv.dtype)[:, None, None, :]
     H, W = img_shape
     u = uv[..., 0] / W * 2.0 - 1.0
     v = uv[..., 1] / H * 2.0 - 1.0
@@ -113,9 +123,13 @@ class Uni3DViewTrans(nn.Module):
 
     @nn.compact
     def __call__(self, mlvl_feats, img_depth, lidar2img, uni_rot_aug,
-                 img_shape, train: bool = False, sweep_times=None):
+                 img_shape, train: bool = False, sweep_times=None,
+                 img_rot_aug=None, img_trans_aug=None):
         """uni_rot_aug (B, 3, 3): accumulated point-aug rotation; the
         voxel grid is pulled back through its inverse before projection.
+        img_rot_aug (B, 2, 2) / img_trans_aug (B, 2): accumulated
+        image-level aug mapping original pixel coords into the augmented
+        image (uni3d_viewtrans.py:312-322).
         With num_sweeps S > 1, the camera axis of the inputs is laid out
         (S * num_cams); sweep_times (B, S) feeds the with_time mode."""
         B = lidar2img.shape[0]
@@ -127,7 +141,8 @@ class Uni3DViewTrans(nn.Module):
         inv = jnp.linalg.inv(uni_rot_aug.astype(jnp.float32))
         ref = jnp.einsum("bvj,bji->bvi", ref, inv)
         per_cam = sample_camera_features(mlvl_feats, img_depth, ref,
-                                         lidar2img, img_shape)
+                                         lidar2img, img_shape,
+                                         img_rot_aug, img_trans_aug)
         C = per_cam.shape[-1]
         V = per_cam.shape[2]
         S = self.num_sweeps
