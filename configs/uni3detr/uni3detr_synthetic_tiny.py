@@ -30,3 +30,7 @@ optimizer = dict(type='adamw', lr=1e-3, weight_decay=0.01, clip_norm=10.0)
 lr_config = dict(policy='step', step=[8])
 total_epochs = 2
 log_config = dict(interval=2)
+# EvalHook (reference `evaluation = dict(interval=...)`)
+evaluation = dict(interval=2, max_samples=4)
+# TTA grid for `cli.test --tta` (MultiRotScaleFlipAug3D equivalent)
+tta = dict(rot_degrees=(0.0,), scales=(1.0,), flips=(False, True))

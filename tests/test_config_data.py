@@ -192,10 +192,18 @@ def test_cli_train_and_test_smoke(tmp_path, monkeypatch):
     cfgp = str(REPO / "configs/uni3detr/uni3detr_synthetic_tiny.py")
     wd = str(tmp_path / "wd")
     monkeypatch.setattr(sys, "argv", [
-        "train", cfgp, "--work-dir", wd, "--max-steps", "3"])
-    train_cli.main()
+        "train", cfgp, "--work-dir", wd, "--cfg-options",
+        "total_epochs=1", "evaluation.interval=1",
+        "evaluation.max_samples=2", "data.length=4"])
+    train_cli.main()  # runs the EvalHook after epoch 1
     assert os.path.exists(os.path.join(wd, "latest"))
+    log = open(os.path.join(wd, "train.log")).read()
+    assert "eval epoch 1" in log  # EvalHook fired and logged metrics
+    import json
+    meta = json.load(open(os.path.join(wd, "latest", "meta.json")))
+    assert meta["classes"] == ["a", "b", "c"]  # embedded like the
+    # reference's checkpoint meta (train.py:224-234)
     monkeypatch.setattr(sys, "argv", [
         "test", cfgp, os.path.join(wd, "latest"), "--eval", "bbox",
-        "--max-samples", "2"])
+        "--max-samples", "2", "--batch-size", "2", "--tta"])
     test_cli.main()

@@ -58,6 +58,62 @@ def test_gt_repeattimes_train_step():
         assert (a == g).sum() == 2
 
 
+def test_iou_cost_and_loss_options_train():
+    """Every registered IoU match cost (match_cost.py:35-102) and loss_iou
+    option (rdiouloss.py + mmdet3d RotatedIoU3DLoss) is config-selectable
+    and produces a finite train step."""
+    batch = _batch(3)
+    tx = make_optimizer(1e-3)
+    for cost_t, loss_t in (("rotated_iou3d", "rotated_iou3d"),
+                           ("axis_aligned_iou3d", "rdiou"),
+                           ("rdiou", "iou3d")):
+        cfg = dataclasses.replace(TINY, iou_cost_type=cost_t,
+                                  iou_loss_type=loss_t)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), batch, tx)
+        step = make_train_step(cfg, donate=False)
+        state, logs = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(logs["total_loss"])), (cost_t, loss_t)
+        assert np.isfinite(float(logs["loss_iou"])), (cost_t, loss_t)
+
+
+def test_rdiou_penalty_golden_torch():
+    """rdiou_penalty == 1 - clamp(rdiou - u, -1, 1) with get_rdiou's exact
+    algebra (core/bbox/util.py:104-154), oracled in torch."""
+    import torch
+    from uni3detr_tpu.train.losses import rdiou_penalty
+
+    rng = np.random.RandomState(7)
+    a = rng.uniform(-1, 1, (16, 7)).astype(np.float32)
+    b = rng.uniform(-1, 1, (16, 7)).astype(np.float32)
+
+    def oracle(p, t):
+        p, t = torch.tensor(p), torch.tensor(t)
+        x1, y1, z1 = p[..., 0], p[..., 1] * 2, p[..., 2] * 2
+        l1, w1, h1 = (p[..., 3].exp().clamp(max=10), p[..., 4].exp().clamp(
+            max=10), p[..., 5].exp().clamp(max=10))
+        t1 = p[..., 6].sin() * t[..., 6].cos()
+        x2, y2, z2 = t[..., 0], t[..., 1] * 2, t[..., 2] * 2
+        l2, w2, h2 = t[..., 3].exp(), t[..., 4].exp(), t[..., 5].exp()
+        t2 = p[..., 6].cos() * t[..., 6].sin()
+        j = torch.ones_like(h2)
+        inter = torch.ones_like(h2)
+        span = torch.zeros_like(h2)
+        for (a1, e1, a2, e2) in ((x1, l1, x2, l2), (y1, w1, y2, w2),
+                                 (z1, h1, z2, h2), (t1, j, t2, j)):
+            inter = inter * (torch.min(a1 + e1 / 2, a2 + e2 / 2)
+                             - torch.max(a1 - e1 / 2, a2 - e2 / 2)).clamp(0)
+            span = span + (torch.max(a1 + e1 / 2, a2 + e2 / 2)
+                           - torch.min(a1 - e1 / 2, a2 - e2 / 2)) ** 2
+        diag = ((x2 - x1) ** 2 + (y2 - y1) ** 2 + (z2 - z1) ** 2
+                + (t2 - t1) ** 2)
+        u = diag / span
+        rd = inter / (l1 * w1 * h1 + l2 * w2 * h2 - inter)
+        return (1 - (rd - u).clamp(-1, 1)).numpy()
+
+    ours = np.asarray(rdiou_penalty(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, oracle(a, b), rtol=1e-5, atol=1e-5)
+
+
 def test_soft_nms_eval_path():
     cfg = dataclasses.replace(TINY, post_processing="soft_nms")
     batch = _batch(2)

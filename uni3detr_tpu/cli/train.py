@@ -31,8 +31,14 @@ def parse_args():
 
 
 def batch_iterator(dataset, batch_size, cfg_model, rng, pool):
-    """Shuffled epoch iterator with threaded sample loading."""
+    """Shuffled epoch iterator with threaded sample loading. The tail
+    partial batch is padded by wrapping to the epoch's first samples so
+    every sample is seen and the jitted step keeps one static shape."""
     order = rng.permutation(len(dataset))
+    if len(order) % batch_size:
+        # np.resize wraps, covering datasets smaller than one batch too
+        order = np.resize(order, len(order) + batch_size
+                          - len(order) % batch_size)
     from ..data.datasets import collate_batch
     for i in range(0, len(order) - batch_size + 1, batch_size):
         idxs = order[i:i + batch_size]
@@ -88,7 +94,7 @@ def main():
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
     logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(message)s",
+        level=logging.INFO, format="%(asctime)s %(message)s", force=True,
         handlers=[logging.StreamHandler(),
                   logging.FileHandler(os.path.join(work_dir, "train.log"))])
     log = logging.getLogger("train")
@@ -115,7 +121,15 @@ def main():
     else:
         sched = step_lr_schedule(opt.get("lr", 1e-4), steps_per_epoch,
                                  lr_cfg.get("step", []))
-    lr_mult = cfg.get("lr_mult")
+    lr_mult = dict(cfg.get("lr_mult") or {})
+    # frozen_stages -> zero-update mask (reference ResNet frozen_stages=1,
+    # ov_uni3detr_sunrgbd_mm.py; requires_grad=False semantics: the 0x
+    # multiplier also kills AdamW weight decay on those leaves)
+    fs = getattr(model_cfg, "frozen_stages", -1)
+    if getattr(model_cfg, "use_camera", False) and fs >= 0:
+        from ..models.resnet import ResNet
+        for p in ResNet.frozen_param_prefixes(fs):
+            lr_mult[p] = 0.0
     lr_mult_fn = None
     if lr_mult:
         def lr_mult_fn(path):
@@ -165,6 +179,25 @@ def main():
         start_epoch = (meta or {}).get("epoch", 0)
         log.info("resumed from %s at epoch %d", resume, start_epoch)
 
+    # EvalHook: periodic val-split eval (reference `evaluation =
+    # dict(interval=N)`, uni3detr_sunrgbd.py:227; mmcv EvalHook)
+    eval_int = cfg.get("evaluation", {}).get("interval", 0)
+    val_dataset = eval_fn = None
+    if eval_int:
+        from ..train.step import make_eval_step
+        from ..train.evaluator import run_inference, evaluate
+        val_dataset = build_dataset(cfg.data, cfg.class_names,
+                                    model_cfg.pc_range, "val")
+        eval_fn = make_eval_step(model_cfg)
+
+    def ckpt_meta(epoch, step):
+        """Checkpoint meta mirrors what the reference embeds: config +
+        CLASSES alongside epoch/step (extra_tools/train.py:224-234)."""
+        return {"epoch": epoch, "step": step,
+                "classes": list(cfg.class_names),
+                "config_path": os.path.abspath(args.config),
+                "config": dict(cfg)}
+
     step_fn = make_train_step(model_cfg)
     base_key = jax.random.PRNGKey(seed + 1)  # folded with step on device
     log_int = cfg.get("log_config", {}).get("interval", 50)
@@ -190,15 +223,26 @@ def main():
                          logs["loss_iou_pred"], logs["grad_norm"])
             if args.max_steps and gstep >= args.max_steps:
                 save_checkpoint(os.path.join(work_dir, "latest"), state,
-                                {"epoch": epoch, "step": gstep})
+                                ckpt_meta(epoch, gstep))
                 log.info("max steps reached; checkpoint saved")
                 return
         if (epoch + 1) % ckpt_int == 0:
             save_checkpoint(os.path.join(work_dir, f"epoch_{epoch+1}"),
-                            state, {"epoch": epoch + 1, "step": gstep})
+                            state, ckpt_meta(epoch + 1, gstep))
             save_checkpoint(os.path.join(work_dir, "latest"), state,
-                            {"epoch": epoch + 1, "step": gstep})
+                            ckpt_meta(epoch + 1, gstep))
             log.info("checkpoint saved at epoch %d", epoch + 1)
+        if eval_int and (epoch + 1) % eval_int == 0:
+            dets, gts = run_inference(
+                val_dataset, state, eval_fn, model_cfg,
+                batch_size=cfg.data.get("samples_per_gpu", 1),
+                max_samples=cfg.get("evaluation", {}).get("max_samples"),
+                box_type=cfg.data.get("box_type", "Depth"))
+            res = evaluate(dets, gts, cfg, val_dataset, log=log.info)
+            log.info("eval epoch %d | %s", epoch + 1,
+                     " ".join(f"{k}={v:.4f}" for k, v in res.items()
+                              if isinstance(v, float) and v == v))
+            t_last = time.time()
 
 
 if __name__ == "__main__":

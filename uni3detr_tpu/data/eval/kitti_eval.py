@@ -5,15 +5,70 @@ Capability parity with the KITTI eval the reference delegates to mmdet3d
 official recall-point interpolation (11 points for AP11, 40 for AP_R40).
 
 Difficulty follows the official GT criteria when the info fields are
-available (bbox height / occlusion / truncation); with bare 3D boxes every
-GT counts for all difficulties (documented deviation — our detections
-carry no projected 2D boxes, so the det-height filter is skipped).
+available (bbox height / occlusion / truncation). Detections are filtered
+by projected 2D-box height like the official eval when they carry a
+'bbox' field — :func:`project_boxes_to_image` produces it from the info
+calib (the test CLI wires this via
+:func:`uni3detr_tpu.train.evaluator.evaluate`). One documented deviation:
+a height-ignored detection is dropped from matching entirely, where the
+official eval lets it consume an ignored GT first — this only shifts
+scores when an undersized detection overlaps an undersized GT.
 """
 from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
 import numpy as np
+
+
+def project_boxes_to_image(boxes_lidar, calib, image_shape=None):
+    """(N, >=7) lidar storage boxes -> (N, 4) xyxy image boxes.
+
+    Projects the 8 box corners through P2 @ R0_rect @ Tr_velo_to_cam
+    (the official kitti.py camera chain). Boxes whose center lands behind
+    the image plane get a degenerate (0-height) bbox so every difficulty
+    level ignores them — the official eval only scores the camera frustum.
+    """
+    from ..box_np_ops import corners_3d
+    if len(boxes_lidar) == 0:
+        return np.zeros((0, 4), np.float32)
+    P2 = np.asarray(calib["P2"], np.float64)       # (3, 4)
+    R0 = np.asarray(calib["R0_rect"], np.float64)  # (4, 4)
+    Tr = np.asarray(calib["Tr_velo_to_cam"], np.float64)
+    corners = corners_3d(np.asarray(boxes_lidar, np.float64))  # (N, 8, 3)
+    N = len(corners)
+    hom = np.concatenate([corners.reshape(-1, 3),
+                          np.ones((N * 8, 1))], 1)
+    img = hom @ (P2 @ R0 @ Tr).T                   # (N*8, 3)
+    z = img[:, 2].reshape(N, 8)
+    px = (img[:, 0] / np.maximum(img[:, 2], 1e-6)).reshape(N, 8)
+    py = (img[:, 1] / np.maximum(img[:, 2], 1e-6)).reshape(N, 8)
+    bbox = np.stack([px.min(1), py.min(1), px.max(1), py.max(1)], 1)
+    if image_shape is not None:
+        h, w = image_shape[:2]
+        bbox[:, [0, 2]] = np.clip(bbox[:, [0, 2]], 0, w - 1)
+        bbox[:, [1, 3]] = np.clip(bbox[:, [1, 3]], 0, h - 1)
+    behind = (z <= 0).any(1)
+    bbox[behind] = 0.0
+    return bbox.astype(np.float32)
+
+
+def kitti_gt_from_info(info, classes):
+    """Rebuild a full-annotation GT dict from an info record (the official
+    eval scores against raw annotations, not the range-filtered training
+    view): boxes_lidar + labels + the difficulty fields."""
+    annos = info.get("annos", {})
+    names = list(annos.get("name", []))
+    keep = [i for i, n in enumerate(names) if n in classes]
+    boxes = np.asarray(annos.get("gt_boxes_lidar", np.zeros((0, 7))),
+                       np.float32).reshape(-1, 7)
+    gt = {"boxes": boxes[keep] if len(boxes) else boxes,
+          "labels": np.asarray([classes.index(names[i]) for i in keep],
+                               np.int32)}
+    for k in ("bbox", "occluded", "truncated"):
+        if k in annos:
+            gt[k] = np.asarray(annos[k])[keep]
+    return gt
 
 # official thresholds: (min 2D height px, max occlusion, max truncation)
 DIFFICULTY = {
@@ -77,15 +132,21 @@ def kitti_eval(gt_list: List[dict], det_list: List[dict],
             sub = {k: np.asarray(gt[k])[gm] for k in
                    ("bbox", "occluded", "truncated") if k in gt}
             sub["boxes"] = gb
-            entries.append((sub, det["scores"][dm], ov))
+            det_h = (det["bbox"][dm][:, 3] - det["bbox"][dm][:, 1]) \
+                if "bbox" in det else None
+            entries.append((sub, det["scores"][dm], ov, det_h))
         for level, lname in ((0, "easy"), (1, "moderate"), (2, "hard")):
+            hmin = DIFFICULTY[level][0]
             tp, fp, scores, n_gt = [], [], [], 0
-            for gt_sub, sc, ov in entries:
+            for gt_sub, sc, ov, det_h in entries:
                 valid, ignored = _gt_difficulty_mask(gt_sub, level)
                 n_gt += int(valid.sum())
                 order = np.argsort(-sc)
                 matched = np.zeros(ov.shape[1], bool)
                 for d in order:
+                    if det_h is not None and det_h[d] < hmin:
+                        continue  # det-height ignore (official eval.py
+                        # clean_data: projected box below min height)
                     if ov.shape[1]:
                         j = int(np.argmax(ov[d] * ~matched))
                         if ov[d, j] >= thr and not matched[j]:

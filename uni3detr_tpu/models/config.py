@@ -51,6 +51,16 @@ class Uni3DETRConfig:
     cls_cost_weight: float = 2.0
     reg_cost_weight: float = 0.25
     iou_cost_weight: float = 1.2
+    # which registered match cost fills the IoU slot
+    # (hungarian_assigner_3d.py:110-121 builds it from cfg; the registry
+    # offers IoU3DCost / RotatedIoU3DCost / AxisAlignedIoU3DCost / RDIoUCost,
+    # match_cost.py:35-102)
+    iou_cost_type: str = "iou3d"  # iou3d|rotated_iou3d|axis_aligned_iou3d|rdiou
+    # which registered loss fills the head's loss_iou slot
+    # (uni3detr_head.py:356 build_loss; IoU3DLoss in every shipped config,
+    # RotatedIoU3DLoss the declared default :331, RDIoULoss registered in
+    # rdiouloss.py:35-91)
+    iou_loss_type: str = "iou3d"  # iou3d | rotated_iou3d | rdiou
     loss_cls_weight: float = 1.5
     loss_bbox_weight: float = 0.25
     loss_iou_weight: float = 1.2

@@ -48,30 +48,58 @@ class _Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """depth-50 layout (3, 4, 6, 3); returns 4 stage feature maps."""
+    """depth-50 layout (3, 4, 6, 3); returns 4 stage feature maps.
+
+    ``frozen_stages`` matches torchvision/mmdet ``_freeze_stages``: with
+    value k >= 0 the stem and stages 1..k run with eval-mode BatchNorm and
+    a stop_gradient on their output, so their params receive zero grads
+    and their running stats never update (the OV configs train with
+    frozen_stages=1, ov_uni3detr_sunrgbd_mm.py). stop_gradient alone
+    leaves AdamW weight decay active on those leaves — pair with
+    ``frozen_param_prefixes`` in the optimizer (train/step.py) for exact
+    requires_grad=False semantics.
+    """
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     stage_with_dcn: Sequence[bool] = (False, True, True, True)
-    frozen_stages: int = 1  # parity field; freezing is an optimizer concern
+    frozen_stages: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        stem_train = train and self.frozen_stages < 0
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="stem_conv")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train,
+        x = nn.relu(nn.BatchNorm(use_running_average=not stem_train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=jnp.float32, name="stem_bn")(x))
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
         planes = 64
         for i, n in enumerate(self.stage_blocks):
+            frozen = (i + 1) <= self.frozen_stages
             for j in range(n):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = _Bottleneck(
                     planes, strides=stride, use_dcn=self.stage_with_dcn[i],
-                    downsample=(j == 0), name=f"layer{i+1}_{j}")(x, train)
+                    downsample=(j == 0), name=f"layer{i+1}_{j}")(
+                        x, train and not frozen)
+            if frozen:
+                x = jax.lax.stop_gradient(x)
             outs.append(x)
             planes *= 2
         return tuple(outs)
+
+    @staticmethod
+    def frozen_param_prefixes(frozen_stages: int,
+                              scope: str = "img_backbone"):
+        """Param-path prefixes covered by ``frozen_stages`` (for the
+        optimizer's zero-update mask)."""
+        if frozen_stages < 0:
+            return ()
+        out = [f"{scope}/stem_conv", f"{scope}/stem_bn"]
+        out += [f"{scope}/layer{i+1}_" for i in range(frozen_stages)]
+        return tuple(out)
 
 
 class FPN(nn.Module):

@@ -31,7 +31,10 @@ def save_checkpoint(path: str, state, meta: Optional[Dict] = None):
     cptr.save(path, tree, force=True)
     if meta is not None:
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+            # reference embeds config text + CLASSES in every checkpoint
+            # (extra_tools/train.py:224-234); default=str keeps arbitrary
+            # config values serializable
+            json.dump(meta, f, default=str)
 
 
 def load_checkpoint(path: str, target_state=None,

@@ -1,0 +1,140 @@
+"""Shared evaluation driver: batched val-split inference, optional TTA,
+metric dispatch.
+
+Fills the role of mmdet's ``single_gpu_test`` + ``EvalHook``
+(reference extra_tools/test.py:33-239 and the ``evaluation = dict(
+interval=...)`` hook every config registers, e.g.
+uni3detr_sunrgbd.py:227): one implementation used by both the test CLI
+and the periodic in-training eval. Inference runs at a fixed batch size
+(the tail chunk is padded by repeating the last sample and the surplus
+detections dropped) so the jitted eval step compiles exactly once — the
+reference evaluates strictly per-sample (samples_per_gpu=1), which wastes
+TPU width.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _postprocess_sample(det: dict, model_cfg) -> dict:
+    """Host-side per-sample extras after the on-device decode: box merging
+    + per-class score thresholds (nms/soft-NMS already ran on device)."""
+    if model_cfg.post_processing == "box_merging":
+        from ..data.eval.box_merging import merge_boxes_3d
+        l2, b2, s2, _ = merge_boxes_3d(det["labels"], det["boxes"],
+                                       det["scores"])
+        det = {"boxes": b2, "scores": s2, "labels": l2}
+        if model_cfg.score_thr is not None:
+            thr = (np.asarray(model_cfg.score_thr)[det["labels"]]
+                   if isinstance(model_cfg.score_thr, (tuple, list))
+                   else model_cfg.score_thr)
+            keep = det["scores"] > thr
+            det = {k: det[k][keep] for k in det}
+    return det
+
+
+def run_inference(dataset, state, eval_fn, model_cfg, *,
+                  batch_size: int = 1, max_samples: Optional[int] = None,
+                  tta_grid: Optional[List[dict]] = None,
+                  box_type: str = "Depth", log=None):
+    """Run the jitted ``eval_fn`` over ``dataset`` and return (dets, gts).
+
+    ``tta_grid``: aug descriptors from :func:`..train.tta.make_aug_grid`;
+    each augmentation's detections are mapped back through the inverse
+    transform and fused per sample (reference MultiRotScaleFlipAug3D +
+    merge_all_aug_bboxes_3d; the reference's own aug_test is marked "not
+    done", uni3detr.py:318 — this one works, lidar-only).
+    """
+    import jax
+    from ..data.datasets import collate_batch
+    from .tta import apply_aug_points, map_boxes_back, merge_aug_detections
+
+    n = len(dataset) if max_samples is None else min(len(dataset),
+                                                     max_samples)
+    key = jax.random.PRNGKey(0)
+    dets: List[dict] = []
+    gts: List[dict] = []
+    augs = tta_grid or [None]
+
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        samples = [dataset[i] for i in idxs]
+        real = len(samples)
+        samples += [samples[-1]] * (batch_size - real)  # pad tail chunk
+        per_aug: List[List[dict]] = [[] for _ in range(real)]
+        for aug in augs:
+            cur = samples
+            if aug is not None:
+                if "images" in samples[0]:
+                    raise ValueError("TTA supports lidar-only models")
+                cur = []
+                for s in samples:
+                    s2 = dict(s)
+                    s2["points"] = apply_aug_points(s["points"], aug,
+                                                    box_type=box_type)
+                    cur.append(s2)
+            batch, _ = collate_batch(cur, model_cfg.num_points,
+                                     model_cfg.max_gt,
+                                     model_cfg.in_point_features,
+                                     model_cfg.code_size)
+            key, k = jax.random.split(key)
+            boxes, scores, labels, valid = jax.tree_util.tree_map(
+                np.asarray,
+                eval_fn(state.params, state.batch_stats, batch, k,
+                        constants=state.constants))
+            for bi in range(real):
+                v = valid[bi]
+                det = {"boxes": boxes[bi][v], "scores": scores[bi][v],
+                       "labels": labels[bi][v]}
+                if aug is not None:
+                    det["boxes"] = map_boxes_back(det["boxes"], aug,
+                                                  box_type=box_type)
+                per_aug[bi].append(det)
+        for bi in range(real):
+            det = per_aug[bi][0] if len(per_aug[bi]) == 1 else \
+                merge_aug_detections(per_aug[bi], model_cfg.num_classes)
+            dets.append(_postprocess_sample(det, model_cfg))
+            gts.append({"boxes": samples[bi]["gt_boxes"],
+                        "labels": samples[bi]["gt_labels"]})
+        if log and (start // batch_size) % 25 == 24:
+            log(f"[{min(start + batch_size, n)}/{n}]")
+    return dets, gts
+
+
+def evaluate(dets, gts, cfg, dataset, *, out_prefix: Optional[str] = None,
+             log=print) -> Dict[str, float]:
+    """Metric dispatch by dataset_type. Returns a flat {name: float} dict
+    (the EvalHook logs it; the test CLI pretty-prints it)."""
+    classes = list(cfg.class_names)
+    dtype_ = cfg.data["dataset_type"]
+    if dtype_ == "kitti":
+        from ..data.eval.kitti_eval import (kitti_eval, kitti_gt_from_info,
+                                            project_boxes_to_image)
+        infos = getattr(dataset, "infos", None)
+        if infos:
+            # official-style eval: raw annotations + det 2D-height filter
+            gts = [kitti_gt_from_info(infos[i], classes)
+                   for i in range(len(dets))]
+            for det, info in zip(dets, infos):
+                if "calib" in info:
+                    shape = info.get("image", {}).get("image_shape")
+                    det["bbox"] = project_boxes_to_image(
+                        det["boxes"], info["calib"], shape)
+        return kitti_eval(gts, dets, classes)
+    if dtype_ == "nuscenes":
+        from ..data.eval.nuscenes_eval import format_results
+        from ..data.eval.nuscenes_metrics import nuscenes_detection_metrics
+        infos = [dataset.infos[i] for i in range(len(dets))] \
+            if hasattr(dataset, "infos") else []
+        if out_prefix and infos:
+            p = format_results(dets, infos, classes, out_prefix
+                               + "_nusc.json")
+            log(f"wrote nuScenes submission {p}")
+        return nuscenes_detection_metrics(dets, gts, classes)
+    from ..data.eval.indoor_eval import indoor_eval, format_table
+    res = indoor_eval(gts, dets, classes,
+                      seen_classes=cfg.get("seen_classes"))
+    log(format_table(res, classes))
+    return {k: v for k, v in res.items() if isinstance(v, (int, float))}

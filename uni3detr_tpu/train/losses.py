@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..geom.boxes import encode_boxes, decode_boxes
 from ..geom.iou import (
     nearest_bev_iou, nearest_bev_iou_aligned, z_interval_iou_aligned,
-    iou3d_rotated_aligned,
+    iou3d_rotated, iou3d_rotated_aligned, axis_aligned_iou3d, rdiou,
 )
 from ..ops.matching import match_queries_to_gt
 from ..models.config import Uni3DETRConfig
@@ -63,6 +63,41 @@ def soft_focal_loss(logits, labels, quality, num_classes,
     return jnp.sum(bce * focal_w, axis=-1)
 
 
+def rdiou_penalty(pred, target):
+    """1 - clamp(rdiou - u, -1, 1): the shared RDIoU cost/loss formula
+    (rd_iou_loss, rdiouloss.py:12-32; RDIoUCost, match_cost.py:72-83).
+    Broadcasts over leading dims; boxes are fed as-is, matching the
+    reference (get_rdiou exps dims 3:6 whatever representation arrives)."""
+    u, rd = rdiou(pred, target)
+    return 1.0 - jnp.clip(rd - u, -1.0, 1.0)
+
+
+def iou_match_cost(decoded, bbox_preds, gt_boxes, norm_gt,
+                   cfg: Uni3DETRConfig):
+    """The IoU slot of the Hungarian cost (Q, Gt), per cfg.iou_cost_type.
+
+    Mirrors the registered reference costs exactly, including their
+    sign conventions (match_cost.py:35-102):
+    - iou3d: 1 - nearest-BEV IoU on decoded boxes (IoU3DCost:89-102);
+    - rotated_iou3d: +IoU x weight, decoded boxes (RotatedIoU3DCost:35-58
+      returns the raw diff_iou_rotated_3d, center-z, without negation);
+    - axis_aligned_iou3d: -IoU x weight (AxisAlignedIoU3DCost:61-70);
+    - rdiou: the RDIoU penalty on normalized codes (RDIoUCost:72-83 —
+      get_rdiou exps dims 3:6, i.e. expects the log-size code layout).
+    """
+    t = cfg.iou_cost_type
+    if t == "iou3d":
+        return 1.0 - nearest_bev_iou(decoded, gt_boxes)
+    if t == "rotated_iou3d":
+        return iou3d_rotated(decoded[:, :7], gt_boxes[:, :7],
+                             z_origin="center")
+    if t == "axis_aligned_iou3d":
+        return -axis_aligned_iou3d(decoded[:, :7], gt_boxes[:, :7])
+    if t == "rdiou":
+        return rdiou_penalty(bbox_preds[:, None, :7], norm_gt[None, :, :7])
+    raise ValueError(f"unknown iou_cost_type {t!r}")
+
+
 def hungarian_assign(cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask,
                      cfg: Uni3DETRConfig):
     """Per-sample grouped assignment. Shapes: cls (Q, ncls),
@@ -73,7 +108,7 @@ def hungarian_assign(cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask,
     reg_cost = jnp.sum(
         jnp.abs(bbox_preds[:, None, :8] - norm_gt[None, :, :8]),
         axis=-1) * cfg.reg_cost_weight
-    iou_cost = (1.0 - nearest_bev_iou(decoded, gt_boxes)) \
+    iou_cost = iou_match_cost(decoded, bbox_preds, gt_boxes, norm_gt, cfg) \
         * cfg.iou_cost_weight
     cost = cls_cost + reg_cost + iou_cost
     cost = jnp.where(jnp.isfinite(cost), cost, 1e4)
@@ -127,8 +162,19 @@ def _layer_loss(cls_scores, bbox_preds, iou_preds, gt_boxes, gt_labels,
         loss_consistency = jnp.mean(sel)
     loss_bbox = jnp.sum(l1) / num_pos * cfg.loss_bbox_weight
 
-    loss_iou = jnp.sum((1.0 - iou_bev) * pos) / num_pos \
-        * cfg.loss_iou_weight
+    # the loss_iou slot is config-built in the reference
+    # (uni3detr_head.py:356, applied at :690 on decoded boxes); the z-IoU
+    # term (:689-691) is added regardless of which loss fills the slot
+    if cfg.iou_loss_type == "iou3d":
+        iou_term = 1.0 - iou_bev                       # rdiouloss.py:95-102
+    elif cfg.iou_loss_type == "rotated_iou3d":
+        iou_term = 1.0 - iou3d_rotated_aligned(        # mmdet3d RotatedIoU3D
+            decoded[..., :7], tgt[..., :7], z_origin="center")
+    elif cfg.iou_loss_type == "rdiou":
+        iou_term = rdiou_penalty(decoded[..., :7], tgt[..., :7])
+    else:
+        raise ValueError(f"unknown iou_loss_type {cfg.iou_loss_type!r}")
+    loss_iou = jnp.sum(iou_term * pos) / num_pos * cfg.loss_iou_weight
     loss_iou = loss_iou + jnp.sum((1.0 - iou_z) * pos) / num_pos
 
     iou_true = jax.lax.stop_gradient(
