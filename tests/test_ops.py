@@ -1,5 +1,6 @@
 """Golden tests for ops/ against numpy / torch / scipy oracles."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -273,3 +274,45 @@ def test_match_queries_repeat():
     assert len(pos) == Gt * rep
     for g in range(Gt):
         assert (pos == g).sum() == rep
+
+
+def test_match_queries_scipy_method():
+    """matcher='scipy' (host pure_callback, the reference's own strategy)
+    returns the exact optimum, also under vmap (per-sample batching)."""
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.RandomState(9)
+    nq, Gt = 32, 6
+    cost = rng.randn(2, nq, Gt).astype(np.float32)
+    gt_valid = np.ones((2, Gt), bool)
+    gt_valid[1, 4:] = False
+    fn = jax.vmap(lambda c, v: match_queries_to_gt(
+        c, v, num_query=nq, method="scipy"))
+    assigned = np.asarray(jax.jit(fn)(jnp.asarray(cost),
+                                      jnp.asarray(gt_valid)))
+    for b in range(2):
+        nv = int(gt_valid[b].sum())
+        a = assigned[b]
+        c = np.where(gt_valid[b][None, :], cost[b], 0.0)
+        r, col = linear_sum_assignment(c)
+        # exact: same matched set and optimal total over valid gts
+        got = sum(cost[b, i, a[i]] for i in range(nq) if a[i] >= 0)
+        opt = sum(c[i, j] for i, j in zip(r, col) if j < nv)
+        assert sorted(a[a >= 0].tolist()) == list(range(nv))
+        assert got == pytest.approx(opt, abs=1e-4)
+
+
+def test_auction_phase_override():
+    """matcher_phases threads through: 4 phases is at least as good as 2
+    on every trial."""
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.RandomState(10)
+    for _ in range(3):
+        cost = rng.randn(16, 64).astype(np.float32) * 4
+        r, c = linear_sum_assignment(cost)
+        opt = cost[r, c].sum()
+        v = {}
+        for p in (2, 4):
+            rows = np.asarray(auction_lap(jnp.asarray(cost), n_phases=p))
+            v[p] = cost[np.arange(16), rows].sum()
+        assert v[4] <= v[2] + 1e-5
+        assert v[4] <= opt + 1e-3 * max(1.0, abs(opt))

@@ -122,3 +122,85 @@ def test_downsample_budget_truncates():
     oc, om, og = downsample_sites(
         jnp.asarray(coords), jnp.asarray(mask), GRID, (1, 1, 1), 8)
     assert np.asarray(om).sum() <= 8
+
+
+def test_dense_impl_matches_gather_impl():
+    """SparseEncoderHD(impl='dense') == impl='gather' at active sites with
+    the SAME params (checkpoint-interchangeable by construction)."""
+    import jax
+    from uni3detr_tpu.models.sparse_encoder import SparseEncoderHD
+
+    rng = np.random.RandomState(3)
+    grid = (16, 16, 16)
+    V, n = 96, 70
+    D, H, W = grid
+    lin = np.sort(rng.choice(D * H * W, size=n, replace=False))
+    coords = np.stack([lin // (H * W), (lin // W) % H, lin % W], -1)
+    coords = np.concatenate(
+        [coords, -np.ones((V - n, 3), np.int64)]).astype(np.int32)
+    mask = np.concatenate([np.ones(n, bool), np.zeros(V - n, bool)])
+    feats = rng.randn(1, V, 4).astype(np.float32) * mask[None, :, None]
+
+    kw = dict(sparse_shape=grid, base_channels=8, output_channels=16,
+              encoder_channels=((8, 8), (8, 8), (8, 8), (8,)),
+              downsample_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)))
+    enc_g = SparseEncoderHD(impl="gather", **kw)
+    enc_d = SparseEncoderHD(impl="dense", **kw)
+    args = (jnp.asarray(feats), jnp.asarray(coords)[None],
+            jnp.asarray(mask)[None])
+    vg = enc_g.init(jax.random.PRNGKey(0), *args, True)
+    # identical param tree: dense variant initializes to the same names
+    vd = enc_d.init(jax.random.PRNGKey(0), *args, True)
+    assert (jax.tree_util.tree_structure(vg["params"])
+            == jax.tree_util.tree_structure(vd["params"]))
+    og, gg = enc_g.apply(vg, *args, False)
+    od, gd = enc_d.apply(vd, *args, False)  # same init seed -> same params
+    assert gg == gd
+    og, od = np.asarray(og, np.float32), np.asarray(od, np.float32)
+    assert og.shape == od.shape
+    # dense == gather everywhere the gather path wrote (its site sets are
+    # budget-capped subsets); both zero elsewhere except dense's extra
+    # (legitimately covered) strided sites
+    active = np.abs(og).sum(-1) > 0
+    np.testing.assert_allclose(od[active], og[active], rtol=2e-2,
+                               atol=2e-3)
+    assert active.any()
+
+
+def test_pallas_gather_conv_interpret():
+    """Windowed one-hot Pallas kernel == XLA gather formulation
+    (interpret mode on CPU), including dummy rows, window walking
+    (spread indices), and the custom-vjp backward."""
+    import jax
+    from uni3detr_tpu.ops.sparse_conv_pallas import (
+        _gather_conv_pallas_raw, _xla_gather_conv, gather_conv_pallas)
+
+    rng = np.random.RandomState(5)
+    B, V, C, Cout, K = 2, 600, 8, 16, 27
+    base = np.arange(V)
+    idx = np.full((B, V, K), V, np.int32)
+    idx[:, :, 13] = base
+    nb = rng.rand(B, V, K) < 0.2
+    raw = np.clip(base[None, :, None]
+                  + rng.randint(-550, 550, (B, V, K)), 0, V - 1)
+    idx = np.where(nb, raw, idx).astype(np.int32)
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    W = jnp.asarray(rng.randn(K, C, Cout).astype(np.float32) * 0.05)
+    i = jnp.asarray(idx)
+    ref = _xla_gather_conv(feats, i, W)
+    out = _gather_conv_pallas_raw(feats, i, W, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # backward falls back to the XLA formulation: same grads
+    import unittest.mock as mock
+    import uni3detr_tpu.ops.sparse_conv_pallas as mod
+    with mock.patch.object(
+            mod, "_gather_conv_pallas_raw",
+            lambda f, n, w: mod._xla_gather_conv(f, n, w)):
+        g1 = jax.grad(lambda f, w: (gather_conv_pallas(f, i, w) ** 2
+                                    ).sum(), argnums=(0, 1))(feats, W)
+    g2 = jax.grad(lambda f, w: (_xla_gather_conv(f, i, w) ** 2
+                                ).sum(), argnums=(0, 1))(feats, W)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -61,19 +61,40 @@ def test_gt_repeattimes_train_step():
 def test_iou_cost_and_loss_options_train():
     """Every registered IoU match cost (match_cost.py:35-102) and loss_iou
     option (rdiouloss.py + mmdet3d RotatedIoU3DLoss) is config-selectable
-    and produces a finite train step."""
+    and produces finite, differentiable losses. Tested at the loss level
+    (synthetic head outputs) — the full train step is covered by the
+    default-option tests; compiling 3 more whole-model programs here
+    would dominate suite wall-time."""
+    from uni3detr_tpu.train.losses import uni3detr_loss
+    from uni3detr_tpu.geom.boxes import gravity_center_boxes
+
     batch = _batch(3)
-    tx = make_optimizer(1e-3)
+    rng = np.random.RandomState(5)
+    L, B, Q = 2, 1, TINY.num_query
+    outs = {
+        "all_cls_scores": jnp.asarray(
+            rng.randn(L, B, Q, TINY.num_classes).astype(np.float32)),
+        "all_bbox_preds": jnp.asarray(
+            rng.randn(L, B, Q, TINY.code_size).astype(np.float32) * 0.3),
+        "all_iou_preds": jnp.asarray(
+            rng.randn(L, B, Q).astype(np.float32)),
+    }
+    gt = gravity_center_boxes(batch["gt_boxes"])
     for cost_t, loss_t in (("rotated_iou3d", "rotated_iou3d"),
                            ("axis_aligned_iou3d", "rdiou"),
                            ("rdiou", "iou3d")):
         cfg = dataclasses.replace(TINY, iou_cost_type=cost_t,
                                   iou_loss_type=loss_t)
-        state = create_train_state(cfg, jax.random.PRNGKey(0), batch, tx)
-        step = make_train_step(cfg, donate=False)
-        state, logs = step(state, batch, jax.random.PRNGKey(1))
-        assert np.isfinite(float(logs["total_loss"])), (cost_t, loss_t)
-        assert np.isfinite(float(logs["loss_iou"])), (cost_t, loss_t)
+
+        def total(o):
+            return uni3detr_loss(o, gt, batch["gt_labels"],
+                                 batch["gt_mask"], cfg)[0]
+
+        val, grads = jax.jit(jax.value_and_grad(total))(outs)
+        assert np.isfinite(float(val)), (cost_t, loss_t)
+        gmax = max(float(jnp.abs(g).max())
+                   for g in jax.tree_util.tree_leaves(grads))
+        assert np.isfinite(gmax) and gmax > 0, (cost_t, loss_t)
 
 
 def test_rdiou_penalty_golden_torch():

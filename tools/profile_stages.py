@@ -1,0 +1,206 @@
+"""Per-stage TPU timing of the flagship e2e inference.
+
+The bench (bench.py) measures the whole pipeline; this tool jits each
+stage as its own program and times it so optimization follows data, not
+speculation (STATUS round-1 follow-up: "further pallas candidates should
+follow profiling"). Stages:
+
+  voxelize | encoder (sparse conv) | backbone+neck (dense convs) |
+  fps_raw | fps_voxel | head (decoder+branches) | decode+nms
+
+Each timed program chains a data dependence on its input each iteration
+(same honest-scan methodology as bench.py).
+
+Run: ``python tools/profile_stages.py [preset]`` on the TPU machine.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_ITERS = 10
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_compilation_cache", False)
+    import jax.numpy as jnp
+    from flax.core import FrozenDict
+    from uni3detr_tpu.presets import PRESETS
+    from uni3detr_tpu.models.detector import Uni3DETR, _minmax_norm
+    from uni3detr_tpu.models.head import Uni3DETRHead
+    from uni3detr_tpu.models.second3d import SECOND3D, SECOND3DFPN
+    from uni3detr_tpu.models.sparse_encoder import SparseEncoderHD
+    from uni3detr_tpu.ops.fps import farthest_point_sample
+    from uni3detr_tpu.ops.voxelize import hard_voxelize
+    from uni3detr_tpu.train.coder import decode_predictions, post_process
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "uni3detr_sunrgbd"
+    cfg = PRESETS[name]
+    dtype = cfg.jnp_compute_dtype
+    model = Uni3DETR(cfg)
+    B, P = 1, cfg.num_points
+    rng = np.random.RandomState(0)
+    lo = jnp.asarray(np.array(cfg.pc_range[:3], np.float32))
+    span = jnp.asarray(np.array(cfg.pc_range[3:], np.float32)) - lo
+    pts_mask = jnp.ones((B, P), bool)
+    rp = jnp.asarray(rng.rand(B, cfg.num_query, 3).astype(np.float32))
+    C = 3
+
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((B, P, C), jnp.float32), pts_mask,
+                           train=False, random_points=rp))
+
+    def initfn(key):
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(treedef, [
+            (jax.random.normal(k, s.shape, jnp.float32).astype(s.dtype)
+             * 0.02 if jnp.issubdtype(s.dtype, jnp.floating)
+             else jnp.zeros(s.shape, s.dtype))
+            for k, s in zip(keys, leaves)])
+
+    variables = jax.jit(initfn)(jax.random.PRNGKey(42))
+    params = variables["params"]
+    stats = variables.get("batch_stats", FrozenDict())
+
+    def sub(scope):
+        v = {"params": params[scope]}
+        if scope in stats:
+            v["batch_stats"] = stats[scope]
+        return v
+
+    points = lo + span * jax.random.uniform(jax.random.PRNGKey(1),
+                                            (B, P, 3))
+
+    # ---- stage programs (single-call; timed with chained perturbation)
+    def s_voxelize(pts):
+        return hard_voxelize(pts, pts_mask, pc_range=tuple(cfg.pc_range),
+                             voxel_size=tuple(cfg.voxel_size),
+                             grid_size=tuple(cfg.grid_size),
+                             max_points=cfg.max_points_per_voxel,
+                             max_voxels=cfg.max_voxels_test)
+
+    enc = SparseEncoderHD(
+        sparse_shape=tuple(cfg.grid_size),
+        base_channels=cfg.encoder_base_channels,
+        output_channels=cfg.encoder_out_channels,
+        encoder_channels=cfg.encoder_channels,
+        downsample_paddings=cfg.encoder_downsample_paddings,
+        compute_dtype=dtype)
+
+    def s_encoder(feats, coords, vmask):
+        return enc.apply(sub("pts_middle_encoder"), feats, coords, vmask,
+                         False)
+
+    bb = SECOND3D(out_channels=cfg.backbone_channels,
+                  layer_nums=cfg.backbone_layers,
+                  layer_strides=cfg.backbone_strides)
+    neck = SECOND3DFPN(out_channels=cfg.neck_channels,
+                       upsample_strides=cfg.neck_upsample_strides)
+
+    def s_dense(volume):
+        ms = bb.apply(sub("pts_backbone"), volume.astype(dtype), False)
+        return neck.apply(sub("pts_neck"), ms, False)
+
+    def s_fps_raw(pts):
+        idx = farthest_point_sample(pts, pts_mask, cfg.num_query)
+        return _minmax_norm(jnp.take_along_axis(pts, idx[..., None], 1))
+
+    def s_fps_voxel(coords, vmask):
+        vc = coords[..., ::-1].astype(jnp.float32)
+        vc = jnp.where(vmask[..., None], vc, 0.0)
+        idx = farthest_point_sample(vc, vmask, cfg.num_query)
+        return _minmax_norm(jnp.take_along_axis(vc, idx[..., None], 1))
+
+    head = Uni3DETRHead(
+        num_classes=cfg.num_classes, num_query=cfg.num_query,
+        code_size=cfg.code_size, embed_dim=cfg.embed_dim,
+        num_decoder_layers=cfg.num_decoder_layers,
+        num_heads=cfg.num_heads, ffn_dim=cfg.ffn_dim,
+        dropout=cfg.dropout, pc_range=tuple(cfg.pc_range))
+
+    def s_head(fused, fpsb):
+        return head.apply(sub("pts_bbox_head"), fused.astype(dtype), fpsb,
+                          train=False, random_points=rp)
+
+    def s_decode(outs):
+        b, s, l, v = decode_predictions(outs, cfg)
+        return post_process(b, s, l, v, cfg)
+
+    # materialize stage inputs once
+    feats, coords, vmask = jax.jit(s_voxelize)(points)
+    volume, _grid = jax.jit(s_encoder)(feats, coords, vmask)
+    fused = jax.jit(s_dense)(volume)
+    f1 = jax.jit(s_fps_raw)(points)
+    f2 = jax.jit(s_fps_voxel)(coords, vmask)
+    fpsb = jnp.concatenate([f1, f2], axis=1)
+    outs = jax.jit(s_head)(fused, fpsb)
+    _ = jax.jit(s_decode)(outs)
+
+    def timed(fn, *args, perturb):
+        """Time N chained calls of jit(fn) inside one scanned program."""
+        @jax.jit
+        def run(args):
+            def body(a, i):
+                out = fn(*a)
+                return perturb(a, out, i), ()
+            final, _ = jax.lax.scan(body, args, jnp.arange(N_ITERS))
+            return final
+        args = jax.tree_util.tree_map(jnp.asarray, args)
+        r = run(args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = run(args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / N_ITERS * 1e3
+
+    def leaf0(tree):
+        return jax.tree_util.tree_leaves(tree)[0]
+
+    results = {}
+    results["voxelize"] = timed(
+        s_voxelize, points,
+        perturb=lambda a, out, i: (a[0] + leaf0(out).astype(jnp.float32
+                                                            ).sum() * 1e-9,))
+    results["encoder_sparse"] = timed(
+        s_encoder, feats, coords, vmask,
+        perturb=lambda a, out, i: (a[0] + out[0].astype(jnp.float32).sum()
+                                   * 1e-9, a[1], a[2]))
+    results["backbone_neck"] = timed(
+        s_dense, volume,
+        perturb=lambda a, out, i: (a[0] + out.astype(jnp.float32).sum()
+                                   * 1e-9,))
+    results["fps_raw"] = timed(
+        s_fps_raw, points,
+        perturb=lambda a, out, i: (a[0] + out.sum() * 1e-9,))
+    results["fps_voxel"] = timed(
+        s_fps_voxel, coords, vmask,
+        perturb=lambda a, out, i: (a[0], a[1]))
+    results["head"] = timed(
+        s_head, fused, fpsb,
+        perturb=lambda a, out, i: (
+            a[0] + leaf0(out).astype(jnp.float32).sum() * 1e-9, a[1]))
+    def perturb_outs(a, out, i):
+        d = out[1].astype(jnp.float32).sum() * 1e-9
+        return (jax.tree_util.tree_map(
+            lambda x: x + d.astype(x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, a[0]),)
+
+    results["decode_nms"] = timed(s_decode, outs, perturb=perturb_outs)
+
+    total = sum(results.values())
+    print(json.dumps({"preset": name,
+                      "chip": jax.devices()[0].device_kind,
+                      "stages_ms": {k: round(v, 2)
+                                    for k, v in results.items()},
+                      "sum_ms": round(total, 2)}))
+
+
+if __name__ == "__main__":
+    main()

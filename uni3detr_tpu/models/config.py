@@ -25,6 +25,11 @@ class Uni3DETRConfig:
     max_gt: int = 48          # GT padding budget (per sample)
     dynamic_voxelization: bool = False
     in_point_features: int = 4
+    # encoder execution: 'gather' (gather-GEMM over the voxel list) or
+    # 'dense' (masked dense convs on the scattered volume) — numerically
+    # identical at active sites, chosen per grid occupancy
+    # (models/sparse_encoder.py _SpConv docstring has the measurements)
+    encoder_impl: str = "gather"
     # encoder
     encoder_base_channels: int = 16
     encoder_out_channels: int = 256
@@ -64,6 +69,13 @@ class Uni3DETRConfig:
     loss_cls_weight: float = 1.5
     loss_bbox_weight: float = 0.25
     loss_iou_weight: float = 1.2
+    # assignment solver: 'auction' (on-device, default) or 'scipy'
+    # (host round-trip, bit-exact — the reference's own strategy,
+    # hungarian_assigner_3d.py:123-139); matcher_phases tunes the
+    # auction's eps schedule (None = per-backend default; 4 = exact
+    # at ~2x matcher cost — measured in tools/measure_matcher.py)
+    matcher: str = "auction"
+    matcher_phases: int | None = None
     code_weights: Tuple[float, ...] = (1.0,) * 8
     # decode / post-processing (NMSFreeCoder + head post_processing)
     post_center_range: Tuple[float, ...] = (-3.2, -0.2, -2.0, 3.2, 6.2, 0.56)

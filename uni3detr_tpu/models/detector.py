@@ -65,7 +65,7 @@ class Uni3DETR(nn.Module):
             output_channels=cfg.encoder_out_channels,
             encoder_channels=cfg.encoder_channels,
             downsample_paddings=cfg.encoder_downsample_paddings,
-            compute_dtype=dtype,
+            compute_dtype=dtype, impl=cfg.encoder_impl,
             name="pts_middle_encoder")(feats, coords, vmask, train)
 
         # dense path: batch over 'data', H axis over 'spatial' (XLA halo-

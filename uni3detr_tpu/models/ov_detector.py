@@ -45,7 +45,7 @@ class OV_Uni3DETR(nn.Module):
             output_channels=cfg.encoder_out_channels,
             encoder_channels=cfg.encoder_channels,
             downsample_paddings=cfg.encoder_downsample_paddings,
-            compute_dtype=dtype,
+            compute_dtype=dtype, impl=cfg.encoder_impl,
             name="pts_middle_encoder")(feats, coords, vmask, train)
         ms = SECOND3D(out_channels=cfg.backbone_channels,
                       layer_nums=cfg.backbone_layers,

@@ -82,13 +82,14 @@ def _auction_phase(benefit, price, eps, max_iters):
     return owner, item_of, price
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def auction_lap(cost, max_iters: int = 4096):
+@functools.partial(jax.jit, static_argnames=("max_iters", "n_phases"))
+def auction_lap(cost, max_iters: int = 4096, n_phases: int | None = None):
     """Min-cost assignment of all M rows of ``cost`` (M, N), N >= M.
 
     Returns col_of_row (M,) int32. Epsilon-scaled auction: phases at
     eps = spread/8, /64, ..., down to spread/(8*N); prices persist across
-    phases (standard eps-scaling warm start).
+    phases (standard eps-scaling warm start). ``n_phases`` overrides the
+    auto schedule (more phases = smaller final eps = closer to exact).
     """
     import math
     M, N = cost.shape
@@ -106,7 +107,8 @@ def auction_lap(cost, max_iters: int = 4096):
         dummy = spread * 1e-4 * jitter
         benefit = jnp.concatenate([benefit, dummy], axis=0)
     price = jnp.zeros((N,), jnp.float32)
-    n_phases = max(1, math.ceil(math.log(8.0 * N) / math.log(8.0)))
+    if n_phases is None:
+        n_phases = max(1, math.ceil(math.log(8.0 * N) / math.log(8.0)))
     item_of = jnp.full((N,), -1, jnp.int32)
     for k in range(n_phases):
         eps = spread / (8.0 ** (k + 1))
@@ -114,7 +116,34 @@ def auction_lap(cost, max_iters: int = 4096):
     return item_of[:M]
 
 
-def _match_groups_pallas(grouped, gt_valid_tiled, interpret=False):
+def _match_groups_scipy(grouped):
+    """Exact host-side matching (the reference's own strategy:
+    hungarian_assigner_3d.py:123-139 syncs the cost to CPU and runs scipy
+    linear_sum_assignment). Available as ``matcher='scipy'`` for bit-exact
+    parity runs and as the oracle in matcher-quality measurements; costs a
+    device->host round-trip per step, so 'auction' is the TPU default.
+
+    grouped (ng, nq, M) cost -> row_of_col (ng, M) int32."""
+    import numpy as np
+
+    def host(c):
+        from scipy.optimize import linear_sum_assignment
+        c = np.nan_to_num(np.asarray(c, np.float64), posinf=1e9,
+                          neginf=-1e9)
+        out = np.zeros((c.shape[0], c.shape[2]), np.int32)
+        for g in range(c.shape[0]):
+            _, col = linear_sum_assignment(c[g].T)  # rows = GT columns
+            out[g] = col
+        return out
+
+    ng, nq, M = grouped.shape
+    return jax.pure_callback(
+        host, jax.ShapeDtypeStruct((ng, M), jnp.int32), grouped,
+        vmap_method="sequential")
+
+
+def _match_groups_pallas(grouped, gt_valid_tiled, interpret=False,
+                         n_phases: int = 3):
     """grouped (ng, nq, M) cost; returns row_of_col (ng, M) int32.
 
     Builds padded-square benefit matrices (N = nq rounded up to 128):
@@ -138,12 +167,14 @@ def _match_groups_pallas(grouped, gt_valid_tiled, interpret=False):
          jnp.full((ng, M, N - nq), -1e6, benefit_real.dtype)], axis=2)
     benefit = jnp.concatenate([top, dummy_rows], axis=1)  # (ng, N, N)
     item_of = auction_lap_pallas(benefit.astype(jnp.float32),
-                                 spread[:, None], interpret=interpret)
+                                 spread[:, None], n_phases=n_phases,
+                                 interpret=interpret)
     return item_of[:, :M]
 
 
 def match_queries_to_gt(cost, gt_valid, num_query: int, gt_repeat: int = 1,
-                        use_pallas=None):
+                        use_pallas=None, method: str = "auction",
+                        phases: int | None = None):
     """Grouped set matching: cost (G*nq, Gt) -> assigned gt per query.
 
     - cost rows are ``num_groups`` independent groups of ``num_query``
@@ -175,25 +206,26 @@ def match_queries_to_gt(cost, gt_valid, num_query: int, gt_repeat: int = 1,
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
 
+    def scatter(row_of_col):
+        assigned = jnp.full((num_query,), -1, jnp.int32)
+        return assigned.at[
+            jnp.where(real, row_of_col, num_query)].set(
+                col_ids, mode="drop")
+
+    if method == "scipy":
+        rows = _match_groups_scipy(grouped)
+        return jax.vmap(scatter)(rows).reshape(total_rows)
+
     if use_pallas:
-        rows = _match_groups_pallas(grouped, real)  # (ng, M)
-
-        def scatter(row_of_col):
-            assigned = jnp.full((num_query,), -1, jnp.int32)
-            return assigned.at[
-                jnp.where(real, row_of_col, num_query)].set(
-                    col_ids, mode="drop")
-
-        assigned = jax.vmap(scatter)(rows)
-        return assigned.reshape(total_rows)
+        rows = _match_groups_pallas(grouped, real,
+                                    **({} if phases is None
+                                       else {"n_phases": phases}))
+        return jax.vmap(scatter)(rows).reshape(total_rows)
 
     def one(c):
         # transpose: columns (gts) are the bidders, rows (queries) items
-        row_of_col = auction_lap(c.T)  # (Gt*gt_repeat,)
-        assigned = jnp.full((num_query,), -1, jnp.int32)
-        assigned = assigned.at[jnp.where(real, row_of_col, num_query)].set(
-            col_ids, mode="drop")
-        return assigned
+        row_of_col = auction_lap(c.T, n_phases=phases)
+        return scatter(row_of_col)
 
     assigned = jax.vmap(one)(grouped)  # (ng, nq)
     return assigned.reshape(total_rows)

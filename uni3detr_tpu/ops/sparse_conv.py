@@ -91,10 +91,15 @@ def subm_neighbor_idx(coords, mask, grid, kernel: int = 3, table=None):
 
 
 def gather_conv(features, neighbor_idx, weights):
-    """Sparse conv as gather + MXU matmul.
+    """Sparse conv as gather + MXU matmul (per-sample XLA form).
 
     features (V, Cin), neighbor_idx (V, K) with V = missing,
     weights (K, Cin, Cout) -> (V, Cout).
+
+    On TPU callers should prefer the batched windowed one-hot Pallas
+    kernel (ops/sparse_conv_pallas.py::gather_conv_pallas) — XLA's
+    descriptor-per-row gather runs at ~5 ns/row and dominated e2e
+    inference; models/_SpConv dispatches per backend.
     """
     _, Cin = features.shape
     Vout, K = neighbor_idx.shape

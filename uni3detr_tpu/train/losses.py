@@ -117,7 +117,8 @@ def hungarian_assign(cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask,
     # Pallas solver, which has no JVP rule
     cost = jax.lax.stop_gradient(cost)
     return match_queries_to_gt(cost, gt_mask, cfg.num_query,
-                               cfg.gt_repeattimes)
+                               cfg.gt_repeattimes, method=cfg.matcher,
+                               phases=cfg.matcher_phases)
 
 
 def _layer_loss(cls_scores, bbox_preds, iou_preds, gt_boxes, gt_labels,
