@@ -191,16 +191,65 @@ def test_pallas_gather_conv_interpret():
     out = _gather_conv_pallas_raw(feats, i, W, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
-    # backward falls back to the XLA formulation: same grads
+    # backward (asymmetric path: Pallas dW + XLA scatter dfeats)
     import unittest.mock as mock
     import uni3detr_tpu.ops.sparse_conv_pallas as mod
+    real_rows = mod.gather_rows_pallas
     with mock.patch.object(
             mod, "_gather_conv_pallas_raw",
-            lambda f, n, w: mod._xla_gather_conv(f, n, w)):
-        g1 = jax.grad(lambda f, w: (gather_conv_pallas(f, i, w) ** 2
-                                    ).sum(), argnums=(0, 1))(feats, W)
+            lambda f, n, w, interpret=False: mod._xla_gather_conv(
+                f, n, w)), \
+         mock.patch.object(
+            mod, "gather_rows_pallas",
+            lambda f, n, interpret=False: real_rows(
+                f, n, interpret=True)):
+        g1 = jax.grad(lambda f, w: (gather_conv_pallas(f, i, w, False)
+                                    ** 2).sum(), argnums=(0, 1))(feats, W)
     g2 = jax.grad(lambda f, w: (_xla_gather_conv(f, i, w) ** 2
                                 ).sum(), argnums=(0, 1))(feats, W)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gather_conv_symmetric_backward():
+    """Symmetric (submanifold) backward: dfeats via the same kernel with
+    kernel-flipped transposed weights equals autodiff of the XLA form,
+    on a REAL subm rulebook."""
+    import jax
+    import uni3detr_tpu.ops.sparse_conv_pallas as mod
+    import unittest.mock as mock
+
+    rng = np.random.RandomState(7)
+    grid = (6, 10, 12)
+    D, H, W_ = grid
+    n, V = 150, 160
+    lin = np.sort(rng.choice(D * H * W_, size=n, replace=False))
+    coords = np.stack([lin // (H * W_), (lin // W_) % H, lin % W_], -1)
+    coords = np.concatenate(
+        [coords, -np.ones((V - n, 3), np.int64)]).astype(np.int32)
+    mask = np.concatenate([np.ones(n, bool), np.zeros(V - n, bool)])
+    nb = np.asarray(subm_neighbor_idx(jnp.asarray(coords),
+                                      jnp.asarray(mask), grid))
+    C, Cout, K = 8, 16, 27
+    feats = jnp.asarray(rng.randn(1, V, C).astype(np.float32)
+                        * mask[None, :, None])
+    Wt = jnp.asarray(rng.randn(K, C, Cout).astype(np.float32) * 0.1)
+    i = jnp.asarray(nb)[None]
+    real_rows = mod.gather_rows_pallas
+    with mock.patch.object(
+            mod, "_gather_conv_pallas_raw",
+            lambda f, n_, w, interpret=False: mod._xla_gather_conv(
+                f, n_, w)), \
+         mock.patch.object(
+            mod, "gather_rows_pallas",
+            lambda f, n_, interpret=False: real_rows(
+                f, n_, interpret=True)):
+        g1 = jax.grad(lambda f, w: (mod.gather_conv_pallas(f, i, w, True)
+                                    ** 2).sum(), argnums=(0, 1))(feats,
+                                                                 Wt)
+    g2 = jax.grad(lambda f, w: (mod._xla_gather_conv(f, i, w) ** 2
+                                ).sum(), argnums=(0, 1))(feats, Wt)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

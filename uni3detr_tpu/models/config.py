@@ -71,9 +71,10 @@ class Uni3DETRConfig:
     loss_iou_weight: float = 1.2
     # assignment solver: 'auction' (on-device, default) or 'scipy'
     # (host round-trip, bit-exact — the reference's own strategy,
-    # hungarian_assigner_3d.py:123-139); matcher_phases tunes the
-    # auction's eps schedule (None = per-backend default; 4 = exact
-    # at ~2x matcher cost — measured in tools/measure_matcher.py)
+    # hungarian_assigner_3d.py:123-139). matcher_phases sets the
+    # auction's epsilon: eps = cost_spread / 8**matcher_phases
+    # (None = spread/2048; gap bound is n_gt * eps — see
+    # ops/matching.py::auction_lap and tools/measure_matcher.py)
     matcher: str = "auction"
     matcher_phases: int | None = None
     code_weights: Tuple[float, ...] = (1.0,) * 8

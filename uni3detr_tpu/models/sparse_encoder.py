@@ -46,7 +46,7 @@ class _SpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, neighbor_idx=None, stride: int = 1,
-                 padding=(1, 1, 1)):
+                 padding=(1, 1, 1), symmetric: bool = True):
         cin = x.shape[-1]
         w = self.param(
             "kernel",
@@ -55,7 +55,8 @@ class _SpConv(nn.Module):
         if neighbor_idx is not None:
             if jax.default_backend() not in ("cpu",):
                 from ..ops.sparse_conv_pallas import gather_conv_pallas
-                return gather_conv_pallas(x, neighbor_idx, w)
+                return gather_conv_pallas(x, neighbor_idx, w,
+                                          symmetric)
             return jax.vmap(gather_conv, in_axes=(0, 0, None))(
                 x, neighbor_idx, w)
         k = round(self.kernel_volume ** (1.0 / 3.0))
@@ -161,7 +162,8 @@ class SparseEncoderHD(nn.Module):
                     in_axes=(0, 0, 0, 0, None, None, None, None, 0))(
                         new_coords, new_mask, coords, vmask, grid, pad,
                         2, 3, table)
-                x = _SpConv(blocks[-1], name=f"stage{i+1}_down")(x, sidx)
+                x = _SpConv(blocks[-1], name=f"stage{i+1}_down")(
+                    x, sidx, symmetric=False)
                 x = MaskedBatchNorm(name=f"stage{i+1}_down_bn")(
                     x, new_mask, train)
                 x = nn.relu(x)

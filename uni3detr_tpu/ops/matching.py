@@ -83,36 +83,32 @@ def _auction_phase(benefit, price, eps, max_iters):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "n_phases"))
-def auction_lap(cost, max_iters: int = 4096, n_phases: int | None = None):
+def auction_lap(cost, max_iters: int = 20000, n_phases: int | None = None):
     """Min-cost assignment of all M rows of ``cost`` (M, N), N >= M.
 
-    Returns col_of_row (M,) int32. Epsilon-scaled auction: phases at
-    eps = spread/8, /64, ..., down to spread/(8*N); prices persist across
-    phases (standard eps-scaling warm start). ``n_phases`` overrides the
-    auto schedule (more phases = smaller final eps = closer to exact).
+    Returns col_of_row (M,) int32. **Asymmetric single-phase** forward
+    auction at eps = spread / 2048: with all prices initialized to 0 the
+    eps-CS argument bounds the gap by M*eps directly — any competing
+    assignment uses items that are either ours (same price) or unassigned
+    (price still 0, the minimum), so the price terms cancel. Round 1
+    padded the problem square with jittered dummy bidders whose price
+    wars took ~4300 Jacobi rounds per instance (~24 ms on a v5e, 423 ms
+    of the 791 ms train step); DETR-shaped asymmetric instances settle in
+    2-3 rounds. Epsilon *scaling* is unsound here: warm prices on items
+    that end a phase unassigned break the zero-initial-price premise
+    (measured 20% gaps) — and without dummy bidders a single fine phase
+    is cheap anyway.
+
+    ``n_phases`` (kept name for config compatibility) sets
+    eps = spread / 8**n_phases — larger = closer to exact, more rounds
+    in adversarial (duplicated-GT, clustered-cost) instances.
     """
-    import math
     M, N = cost.shape
     benefit = -cost.astype(jnp.float32)
     spread = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-6)
-    if M < N:
-        # Forward auction is only exact for square problems (with M < N,
-        # items left unassigned keep stale prices and epsilon-CS no longer
-        # bounds the gap). Pad with indifferent dummy bidders; a tiny
-        # deterministic jitter spreads their argmaxes so they don't all
-        # fight over one item.
-        d = jnp.arange(N - M, dtype=jnp.float32)[:, None]
-        i = jnp.arange(N, dtype=jnp.float32)[None, :]
-        jitter = ((d * 131.0 + i * 31.0) % 97.0) / 97.0
-        dummy = spread * 1e-4 * jitter
-        benefit = jnp.concatenate([benefit, dummy], axis=0)
     price = jnp.zeros((N,), jnp.float32)
-    if n_phases is None:
-        n_phases = max(1, math.ceil(math.log(8.0 * N) / math.log(8.0)))
-    item_of = jnp.full((N,), -1, jnp.int32)
-    for k in range(n_phases):
-        eps = spread / (8.0 ** (k + 1))
-        _, item_of, price = _auction_phase(benefit, price, eps, max_iters)
+    eps = spread / (2048.0 if n_phases is None else 8.0 ** n_phases)
+    _, item_of, _ = _auction_phase(benefit, price, eps, max_iters)
     return item_of[:M]
 
 
@@ -143,31 +139,37 @@ def _match_groups_scipy(grouped):
 
 
 def _match_groups_pallas(grouped, gt_valid_tiled, interpret=False,
-                         n_phases: int = 3):
+                         n_phases: int | None = None):
     """grouped (ng, nq, M) cost; returns row_of_col (ng, M) int32.
 
-    Builds padded-square benefit matrices (N = nq rounded up to 128):
-    rows = bidders (real GT columns, then indifferent jittered dummies),
-    cols = items (real queries, then strongly-disfavored dummy items) and
-    solves all instances in one Pallas launch (VMEM-resident auction).
+    Builds asymmetric benefit matrices: rows = bidders (the M GT
+    columns, padded to a multiple of 8 with indifferent jittered rows),
+    cols = items (the nq queries padded to a multiple of 128 with
+    strongly-disfavored dummies) and solves all instances in one Pallas
+    launch (VMEM-resident single-phase auction; see matching_pallas.py
+    for why asymmetric-single-phase replaced the padded-square
+    eps-scaled form).
     """
     from .matching_pallas import auction_lap_pallas
 
     ng, nq, M = grouped.shape
     N = -(-nq // 128) * 128
+    M8 = -(-M // 8) * 8
     benefit_real = -jnp.swapaxes(grouped, 1, 2)  # (ng, M, nq)
     flat = benefit_real.reshape(ng, -1)
     spread = jnp.maximum(jnp.max(flat, 1) - jnp.min(flat, 1), 1e-6)
-    d = jnp.arange(N - M, dtype=jnp.float32)[:, None]
-    i = jnp.arange(N, dtype=jnp.float32)[None, :]
-    jitter = ((d * 131.0 + i * 31.0) % 97.0) / 97.0  # (N-M, N)
-    dummy_rows = spread[:, None, None] * 1e-4 * jitter[None]
-    top = jnp.concatenate(
+    benefit = jnp.concatenate(
         [benefit_real,
          jnp.full((ng, M, N - nq), -1e6, benefit_real.dtype)], axis=2)
-    benefit = jnp.concatenate([top, dummy_rows], axis=1)  # (ng, N, N)
+    if M8 > M:
+        d = jnp.arange(M8 - M, dtype=jnp.float32)[:, None]
+        i = jnp.arange(N, dtype=jnp.float32)[None, :]
+        jitter = ((d * 131.0 + i * 31.0) % 97.0) / 97.0  # (M8-M, N)
+        pad_rows = spread[:, None, None] * 1e-4 * jitter[None]
+        benefit = jnp.concatenate([benefit, pad_rows], axis=1)
+    eps_div = 2048.0 if n_phases is None else 8.0 ** n_phases
     item_of = auction_lap_pallas(benefit.astype(jnp.float32),
-                                 spread[:, None], n_phases=n_phases,
+                                 spread[:, None], eps_div=eps_div,
                                  interpret=interpret)
     return item_of[:, :M]
 

@@ -20,9 +20,14 @@ data-dependent ``while_loop`` walks the window forward in WIN-row steps
 until every valid neighbor of the tile is covered, so density spikes
 cost extra passes instead of wrong results.
 
-Used for inference/forward; the backward pass falls back to the XLA
-gather formulation via ``custom_vjp`` (training budgets are smaller and
-the step is optimizer-bound).
+The backward also runs on these kernels: for submanifold rulebooks the
+neighbor relation is symmetric (``n(v, k) = u  <=>  n(u, K-1-k) = v``),
+so ``d features`` is the SAME windowed gather-conv applied to the
+output cotangent with kernel-flipped transposed weights, and
+``d weights`` contracts the materialized gathered rows (a weights-free
+variant of the kernel) against the cotangent — no XLA scatter anywhere.
+Strided rulebooks (3 of ~15 convs, asymmetric site sets) fall back to
+the XLA formulation for ``d features``.
 """
 from __future__ import annotations
 
@@ -133,16 +138,97 @@ def _gather_conv_pallas_raw(features, neighbor_idx, weights,
     return out[:, :Vout]
 
 
-@jax.custom_vjp
-def gather_conv_pallas(features, neighbor_idx, weights):
-    """TPU sparse conv: forward via the windowed one-hot kernel,
-    backward via the XLA gather formulation (see module docstring).
-    Batched: (B, V, C) x (B, Vout, K) -> (B, Vout, Cout)."""
+def _gather_rows_kernel(starts_ref, idx_ref, src_ref, out_ref, *, K,
+                        v_dummy):
+    """Weights-free variant: materialize the gathered rows (T, K*C)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    T = idx_ref.shape[1]
+    Vp, C = src_ref.shape[1:]
+    ids = idx_ref[0]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN), 1)
+    out_ref[0] = jnp.zeros((T, K * C), out_ref.dtype)
+    for k in range(K):
+        col = ids[:, k:k + 1]
+        valid = col != v_dummy
+        w0 = starts_ref[(b * n_tiles + t) * K + k]
+        covered0 = (jnp.maximum(w0, 0) // 16) * 16
+
+        def cond(covered):
+            return jnp.any(valid & (col >= covered))
+
+        def body(covered):
+            base = jnp.minimum(covered, Vp - WIN)
+            base = pl.multiple_of(base, 16)
+            window = src_ref[0, pl.ds(base, WIN), :]
+            accept = valid & (col >= covered) & (col < base + WIN)
+            rel = col - base
+            onehot = (accept & (rel == col_iota)).astype(src_ref.dtype)
+            g = jax.lax.dot_general(
+                onehot, window, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, :, k * C:(k + 1) * C] += g.astype(out_ref.dtype)
+            return base + WIN
+
+        jax.lax.while_loop(cond, body, covered0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows_pallas(features, neighbor_idx, interpret: bool = False):
+    """(B, V, C) x (B, Vout, K) -> gathered rows (B, Vout, K*C)."""
+    B, V, C = features.shape
+    _, Vout, K = neighbor_idx.shape
+    dtype = features.dtype
+    Vp = max(-(-(V + 1) // 16) * 16, WIN)
+    padded = jnp.concatenate(
+        [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
+    n_tiles = -(-Vout // TILE)
+    pad_rows = n_tiles * TILE - Vout
+    idx = jnp.concatenate(
+        [neighbor_idx, jnp.full((B, pad_rows, K), V, jnp.int32)], axis=1)
+    tiled = idx.reshape(B, n_tiles, TILE, K)
+    big = jnp.where(tiled == V, jnp.iinfo(jnp.int32).max, tiled)
+    starts = jnp.min(big, axis=2).reshape(-1)
+    starts = jnp.where(starts == jnp.iinfo(jnp.int32).max, 0, starts)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, C), lambda b, t, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, K * C),
+                               lambda b, t, s: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, K=K, v_dummy=V),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * C), dtype),
+        interpret=interpret,
+    )(starts, idx, padded)
+    return out[:, :Vout]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_conv_pallas(features, neighbor_idx, weights,
+                       symmetric: bool = False):
+    """TPU sparse conv: forward via the windowed one-hot kernel.
+    Batched: (B, V, C) x (B, Vout, K) -> (B, Vout, Cout).
+
+    ``symmetric=True`` marks a submanifold rulebook (n(v,k)=u iff
+    n(u,K-1-k)=v): d features then reuses this same kernel with
+    kernel-flipped transposed weights; otherwise (strided) it falls back
+    to XLA's scatter-add. d weights always contracts the Pallas-gathered
+    rows against the cotangent."""
     return _gather_conv_pallas_raw(features, neighbor_idx, weights)
 
 
 def _xla_gather_conv(features, neighbor_idx, weights):
-    """Batched XLA reference formulation (backward + goldens)."""
+    """Batched XLA reference formulation (strided bwd + goldens)."""
     def one(f, n):
         V, Cin = f.shape
         Vout, K = n.shape
@@ -157,18 +243,33 @@ def _xla_gather_conv(features, neighbor_idx, weights):
     return jax.vmap(one)(features, neighbor_idx)
 
 
-def _fwd(features, neighbor_idx, weights):
-    return gather_conv_pallas(features, neighbor_idx, weights), (
+def _fwd(features, neighbor_idx, weights, symmetric):
+    # (this JAX passes nondiff args to fwd at their original positions,
+    # and first to bwd)
+    return _gather_conv_pallas_raw(features, neighbor_idx, weights), (
         features, neighbor_idx, weights)
 
 
-def _bwd(res, g):
+def _bwd(symmetric, res, g):
     features, neighbor_idx, weights = res
-    _, vjp = jax.vjp(
-        lambda f, w: _xla_gather_conv(f, neighbor_idx, w), features,
-        weights)
-    df, dw = vjp(g)
-    return df, None, dw
+    K, C, Cout = weights.shape
+    # dW[k] = sum_{b,v} gathered[b,v,k,:]^T dout[b,v,:]
+    rows = gather_rows_pallas(features, neighbor_idx)   # (B, Vout, K*C)
+    dw = jnp.einsum("bvx,bvo->xo", rows.astype(jnp.float32),
+                    g.astype(jnp.float32)).reshape(K, C, Cout)
+    dw = dw.astype(weights.dtype)
+    if symmetric:
+        # dfeats[u] = sum_k dout[n(u,k)] @ W[K-1-k]^T — the same
+        # windowed gather-conv on the cotangent
+        wb = jnp.swapaxes(weights[::-1], 1, 2)          # (K, Cout, C)
+        df = _gather_conv_pallas_raw(g.astype(features.dtype),
+                                     neighbor_idx, wb)
+    else:
+        _, vjp = jax.vjp(
+            lambda f: _xla_gather_conv(f, neighbor_idx, weights),
+            features)
+        df, = vjp(g)
+    return df.astype(features.dtype), None, dw
 
 
 gather_conv_pallas.defvjp(_fwd, _bwd)
