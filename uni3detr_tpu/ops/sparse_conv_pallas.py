@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256     # output rows per grid step (multiple of 8)
+TILE = 512     # output rows per grid step (multiple of 8)
 WIN = 512      # window rows per pass (multiple of 128; MXU contraction)
 
 
