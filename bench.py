@@ -20,6 +20,7 @@ dispatch artifact ~7x chip peak):
   peak (speed-of-light = 1.0). Absolute ms/scene is also reported.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -41,7 +42,10 @@ def chip_peak_tflops(kind: str) -> float:
     return 197.0  # conservative default
 
 
-def main():
+def main(preset: str = "uni3detr_sunrgbd", n_scenes: int = N_SCENES):
+    """One JSON line for ``preset`` (default = the driver's headline
+    SUN RGB-D metric; pass e.g. ``uni3detr_kitti_car`` /
+    ``uni3detr_nuscenes`` as argv[1] for the outdoor configs)."""
     import jax
     # executables deserialized from the persistent compilation cache run
     # through a pathologically slow path on the axon TPU backend
@@ -49,22 +53,53 @@ def main():
     jax.config.update("jax_enable_compilation_cache", False)
     import jax.numpy as jnp
     from uni3detr_tpu.models.detector import Uni3DETR
-    from uni3detr_tpu.presets import SUNRGBD
+    from uni3detr_tpu.presets import PRESETS
     from uni3detr_tpu.train.coder import decode_predictions, post_process
 
-    cfg = SUNRGBD
-    model = Uni3DETR(cfg)
+    cfg = PRESETS[preset]
+    is_ov = preset.startswith("ov_")
+    if is_ov:
+        from uni3detr_tpu.models.ov_detector import OV_Uni3DETR
+        model = OV_Uni3DETR(cfg)
+    else:
+        model = Uni3DETR(cfg)
     B, P = 1, cfg.num_points
     rng = np.random.RandomState(0)
     lo = jnp.asarray(np.array(cfg.pc_range[:3], np.float32))
     span = jnp.asarray(np.array(cfg.pc_range[3:], np.float32)) - lo
     pts_mask = jnp.ones((B, P), bool)
     rp = jnp.asarray(rng.rand(B, cfg.num_query, 3).astype(np.float32))
-    points0 = jnp.zeros((B, P, 3), jnp.float32)
+    C = cfg.in_point_features
+    points0 = jnp.zeros((B, P, C), jnp.float32)
 
-    shapes = jax.eval_shape(
-        lambda: model.init({"params": jax.random.PRNGKey(0)}, points0,
-                           pts_mask, train=False, random_points=rp))
+    def ov_extras(pts):
+        """Multimodal inputs for the OV forward (image + projection)."""
+        Hh, Ww = cfg.img_size
+        N = cfg.num_cams * cfg.num_sweeps
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 520.0
+        K[0, 2], K[1, 2] = Ww / 2, Hh / 2
+        return {
+            "points": pts, "pts_mask": pts_mask,
+            "images": img0, "lidar2img": jnp.asarray(
+                np.broadcast_to(K, (B, N, 4, 4)).copy()),
+            "uni_rot_aug": jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), (B, 3, 3)),
+        }
+
+    if is_ov:
+        Hh, Ww = cfg.img_size
+        N = cfg.num_cams * cfg.num_sweeps
+        img0 = jnp.asarray(rng.rand(B, N, Hh, Ww, 3).astype(np.float32))
+        shapes = jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "modality": jax.random.PRNGKey(1)},
+                               ov_extras(points0), train=False,
+                               random_points=rp))
+    else:
+        shapes = jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, points0,
+                               pts_mask, train=False, random_points=rp))
 
     # IMPORTANT (axon backend): initialize in ONE jitted program. Hundreds
     # of separate small program executions/allocations permanently degrade
@@ -81,10 +116,21 @@ def main():
     variables = jax.jit(initfn)(jax.random.PRNGKey(42))
 
     def one_scene(variables, key, carry):
-        pts = lo + span * jax.random.uniform(key, (B, P, 3))
+        xyz = lo + span * jax.random.uniform(key, (B, P, 3))
+        extra = jax.random.uniform(key, (B, P, C - 3))
+        pts = jnp.concatenate([xyz, extra], axis=-1)
         pts = pts + jnp.nan_to_num(carry) * 1e-6  # sequential dependence
-        outs = model.apply(variables, pts, pts_mask, train=False,
-                           random_points=rp)
+        if is_ov:
+            b = ov_extras(pts)
+            # fresh image per iteration (a loop-invariant image branch
+            # would be hoisted out of the scan by XLA)
+            b["images"] = img0 + jax.random.uniform(
+                key, img0.shape, jnp.float32) * 0.1
+            outs = model.apply(variables, b, train=False,
+                               random_points=rp)
+        else:
+            outs = model.apply(variables, pts, pts_mask, train=False,
+                               random_points=rp)
         boxes, scores, labels, valid = decode_predictions(outs, cfg)
         _, s, _, _ = post_process(boxes, scores, labels, valid, cfg)
         return jnp.nan_to_num(s).sum()
@@ -94,7 +140,7 @@ def main():
         def body(carry, i):
             return one_scene(variables, jax.random.fold_in(key, i), carry), ()
         final, _ = jax.lax.scan(
-            body, jnp.float32(0.0), jnp.arange(N_SCENES))
+            body, jnp.float32(0.0), jnp.arange(n_scenes))
         return final
 
     # FLOPs of the per-scene program from XLA cost analysis
@@ -110,7 +156,7 @@ def main():
     t0 = time.perf_counter()
     float(np.asarray(run(variables, jax.random.PRNGKey(1))))
     dt = time.perf_counter() - t0
-    sec_per_scene = dt / N_SCENES
+    sec_per_scene = dt / n_scenes
     scenes_per_sec = B / sec_per_scene
 
     kind = jax.devices()[0].device_kind
@@ -122,7 +168,9 @@ def main():
         f"{peak} — measurement is broken, refusing to report")
 
     print(json.dumps({
-        "metric": "sunrgbd_e2e_inference_scenes_per_sec",
+        "metric": ("sunrgbd_e2e_inference_scenes_per_sec"
+                   if preset == "uni3detr_sunrgbd"
+                   else f"{preset}_e2e_inference_scenes_per_sec"),
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec/chip",
         "vs_baseline": round(mfu, 5),
@@ -134,9 +182,10 @@ def main():
         "implied_tflops": round(implied_tflops, 2),
         "chip": kind,
         "chip_peak_tflops": peak,
-        "n_scenes": N_SCENES,
+        "n_scenes": n_scenes,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(*(sys.argv[1:2] or ["uni3detr_sunrgbd"]),
+         n_scenes=int(sys.argv[2]) if len(sys.argv) > 2 else N_SCENES)
