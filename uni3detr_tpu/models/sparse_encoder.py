@@ -53,7 +53,15 @@ class _SpConv(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels))
         if neighbor_idx is not None:
-            if jax.default_backend() not in ("cpu",):
+            # VMEM arrays are (8, 128)-tiled: a (V, C) table occupies
+            # V * 128 lanes regardless of C, so the windowed kernel's
+            # resident source table costs V * 256 bytes in bf16. Above
+            # ~12 MB (nuScenes' 120k test budget) fall back to the XLA
+            # gather rather than OOM scoped VMEM.
+            V = x.shape[1]
+            vmem_bytes = max(-(-(V + 1) // 16) * 16, 512) * 256
+            if (jax.default_backend() not in ("cpu",)
+                    and vmem_bytes <= 12 * 2 ** 20):
                 from ..ops.sparse_conv_pallas import gather_conv_pallas
                 return gather_conv_pallas(x, neighbor_idx, w,
                                           symmetric)
