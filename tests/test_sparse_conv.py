@@ -253,3 +253,33 @@ def test_pallas_gather_conv_symmetric_backward():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gather_conv_packed_interpret():
+    """Lane-packed kernel variant (big-V stages) == XLA formulation,
+    including channel padding (C=5 -> Cp=8, R=16) and lane-group
+    extraction."""
+    from uni3detr_tpu.ops.sparse_conv_pallas import (_raw_packed,
+                                                     _rows_packed,
+                                                     _xla_gather_conv)
+    rng = np.random.RandomState(9)
+    B, V, C, Cout, K = 1, 700, 5, 16, 27
+    base = np.arange(V)
+    idx = np.full((B, V, K), V, np.int32)
+    idx[:, :, 13] = base
+    nb = rng.rand(B, V, K) < 0.3
+    raw = np.clip(base[None, :, None]
+                  + rng.randint(-650, 650, (B, V, K)), 0, V - 1)
+    idx = np.where(nb, raw, idx).astype(np.int32)
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    W = jnp.asarray(rng.randn(K, C, Cout).astype(np.float32) * 0.05)
+    i = jnp.asarray(idx)
+    ref = _xla_gather_conv(feats, i, W)
+    out = _raw_packed(feats, i, W, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    rows = _rows_packed(feats, i, interpret=True)
+    padded = jnp.concatenate([feats, jnp.zeros((B, 1, C))], axis=1)
+    ref_rows = padded[0][idx[0]].reshape(1, V, K * C)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(ref_rows),
+                               rtol=1e-6, atol=1e-6)

@@ -53,16 +53,10 @@ class _SpConv(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels))
         if neighbor_idx is not None:
-            # VMEM arrays are (8, 128)-tiled: a (V, C) table occupies
-            # V * 128 lanes regardless of C, so the windowed kernel's
-            # resident source table costs V * 256 bytes in bf16. Above
-            # ~12 MB (nuScenes' 120k test budget) fall back to the XLA
-            # gather rather than OOM scoped VMEM.
-            V = x.shape[1]
-            vmem_bytes = max(-(-(V + 1) // 16) * 16, 512) * 256
+            from ..ops.sparse_conv_pallas import (gather_conv_pallas,
+                                                 pallas_fits)
             if (jax.default_backend() not in ("cpu",)
-                    and vmem_bytes <= 12 * 2 ** 20):
-                from ..ops.sparse_conv_pallas import gather_conv_pallas
+                    and pallas_fits(x.shape[1], cin)):
                 return gather_conv_pallas(x, neighbor_idx, w,
                                           symmetric)
             return jax.vmap(gather_conv, in_axes=(0, 0, None))(
