@@ -145,3 +145,49 @@ def test_soft_nms_eval_path():
                                       batch, jax.random.PRNGKey(3))
     assert np.isfinite(np.asarray(scores)).all()
     assert np.asarray(valid).any()
+
+
+def test_soft_focal_cls_cost_golden_torch():
+    """soft_focal cls cost == the reference SoftFocalLossCost formula
+    (match_cost.py:101-128), oracled in torch; and the option trains."""
+    import torch
+    from uni3detr_tpu.train.losses import soft_focal_cls_cost
+
+    rng = np.random.RandomState(11)
+    Q, ncls, Gt = 12, 4, 5
+    logits = rng.randn(Q, ncls).astype(np.float32)
+    labels = rng.randint(0, ncls, Gt).astype(np.int32)
+    iou = rng.rand(Q, Gt).astype(np.float32)
+
+    def oracle():
+        p = torch.tensor(logits).sigmoid()
+        i3 = torch.tensor(iou).pow(0.001)
+        pg = p[:, labels] * i3
+        eps, alpha, gamma = 1e-12, 0.25, 2.0
+        neg = -(1 - pg + eps).log() * (1 - alpha) * pg.pow(gamma)
+        pos = -(pg + eps).log() * alpha * (1 - pg).pow(gamma)
+        return (pos - neg).numpy()
+
+    ours = np.asarray(soft_focal_cls_cost(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(iou)))
+    np.testing.assert_allclose(ours, oracle(), rtol=1e-4, atol=1e-5)
+
+    # finite loss through the option
+    from uni3detr_tpu.train.losses import uni3detr_loss
+    from uni3detr_tpu.geom.boxes import gravity_center_boxes
+    batch = _batch(6)
+    cfg = dataclasses.replace(TINY, cls_cost_type="soft_focal")
+    rng2 = np.random.RandomState(12)
+    L, B, Q2 = 2, 1, TINY.num_query
+    outs = {
+        "all_cls_scores": jnp.asarray(
+            rng2.randn(L, B, Q2, TINY.num_classes).astype(np.float32)),
+        "all_bbox_preds": jnp.asarray(
+            rng2.randn(L, B, Q2, TINY.code_size).astype(np.float32) * 0.3),
+        "all_iou_preds": jnp.asarray(rng2.randn(L, B, Q2).astype(
+            np.float32)),
+    }
+    gt = gravity_center_boxes(batch["gt_boxes"])
+    total = jax.jit(lambda o: uni3detr_loss(
+        o, gt, batch["gt_labels"], batch["gt_mask"], cfg)[0])(outs)
+    assert np.isfinite(float(total))

@@ -61,6 +61,10 @@ class Uni3DETRConfig:
     # offers IoU3DCost / RotatedIoU3DCost / AxisAlignedIoU3DCost / RDIoUCost,
     # match_cost.py:35-102)
     iou_cost_type: str = "iou3d"  # iou3d|rotated_iou3d|axis_aligned_iou3d|rdiou
+    # classification cost: FocalLossCost (default) or the registered
+    # IoU-modulated SoftFocalLossCost (match_cost.py:101-128, registered
+    # but unused by shipped reference configs)
+    cls_cost_type: str = "focal"  # focal | soft_focal
     # which registered loss fills the head's loss_iou slot
     # (uni3detr_head.py:356 build_loss; IoU3DLoss in every shipped config,
     # RotatedIoU3DLoss the declared default :331, RDIoULoss registered in

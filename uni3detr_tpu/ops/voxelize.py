@@ -66,17 +66,34 @@ def _voxelize_single(points, mask, pc_range, voxel_size, grid_size,
         keep = s_valid & (rank < max_points) & (seg_id < V)
     else:
         keep = s_valid & (seg_id < V)
-    slot = jnp.where(keep, seg_id, V)  # overflow -> dummy row V
 
-    feats = jnp.zeros((V + 1, C), points.dtype)
-    feats = feats.at[slot].add(jnp.where(keep[:, None], s_pts, 0.0))
-    counts = jnp.zeros((V + 1,), jnp.int32).at[slot].add(
-        keep.astype(jnp.int32))
-    feats, counts = feats[:V], counts[:V]
-    feats = feats / jnp.maximum(counts[:, None], 1).astype(points.dtype)
+    # Per-voxel sums via cumulative-sum differences over the sorted list
+    # instead of a P-row scatter-add: on a v5e the (P, C) scatter was
+    # descriptor-bound (~7.7 ms at the nuScenes 300k budget) while the
+    # cumsum is a fused bandwidth pass; only the V segment-boundary rows
+    # are gathered. Segments are contiguous after the sort, so
+    # sum(v) = csum[start(v+1) - 1] - csum[start(v) - 1].
+    first_slot = jnp.where(newseg & (seg_id < V) & s_valid, seg_id, V)
+    csum = jnp.cumsum(jnp.where(keep[:, None], s_pts, 0.0), axis=0)
+    ccnt = jnp.cumsum(keep.astype(jnp.int32))
+    # per-voxel start row; empty slots -> P so next_start of the last
+    # active voxel is P (slots are dense, ascending with linear id)
+    starts = jnp.full((V + 1,), P, jnp.int32).at[first_slot].set(
+        iota, mode="drop")
+    start_v = starts[:V]
+    next_start = jnp.concatenate(
+        [starts[1:V], jnp.full((1,), P, jnp.int32)])
+    end_row = jnp.clip(next_start - 1, 0, P - 1)
+    prev_row = jnp.clip(start_v - 1, 0, P - 1)
+    has_prev = start_v > 0
+    seg_sum = csum[end_row] - jnp.where(has_prev[:, None],
+                                        csum[prev_row], 0.0)
+    counts = ccnt[end_row] - jnp.where(has_prev, ccnt[prev_row], 0)
+    counts = jnp.where(start_v < P, counts, 0)
+    feats = (seg_sum / jnp.maximum(counts[:, None], 1)
+             ).astype(points.dtype)
 
     # voxel coords: first point of each kept segment defines them
-    first_slot = jnp.where(newseg & (seg_id < V) & s_valid, seg_id, V)
     lin_per_vox = jnp.zeros((V + 1,), jnp.int32).at[first_slot].set(s_lin)
     lin_per_vox = lin_per_vox[:V]
     cz = lin_per_vox // (H * W)

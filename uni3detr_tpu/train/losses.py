@@ -45,6 +45,20 @@ def focal_cls_cost(cls_logits, gt_labels, alpha=0.25, gamma=2.0, eps=1e-12):
     return (pos - neg)[:, gt_labels]
 
 
+def soft_focal_cls_cost(cls_logits, gt_labels, iou3d, alpha=0.25,
+                        gamma=2.0, eps=1e-12):
+    """SoftFocalLossCost (match_cost.py:101-128): the class probability is
+    modulated by iou3d^0.001 before the focal transform.
+
+    cls_logits (Q, ncls); gt_labels (Gt,); iou3d (Q, Gt) pairwise IoU of
+    decoded boxes vs GTs. Returns (Q, Gt)."""
+    p = jax.nn.sigmoid(cls_logits)[:, gt_labels]       # (Q, Gt)
+    pi = p * jnp.power(jnp.maximum(iou3d, eps), 0.001)
+    neg = -jnp.log(1 - pi + eps) * (1 - alpha) * pi ** gamma
+    pos = -jnp.log(pi + eps) * alpha * (1 - pi) ** gamma
+    return pos - neg
+
+
 def soft_focal_loss(logits, labels, quality, num_classes,
                     alpha=0.25, gamma=2.0):
     """IoU-aware soft focal loss, elementwise sum over classes.
@@ -104,7 +118,13 @@ def hungarian_assign(cls_scores, bbox_preds, gt_boxes, gt_labels, gt_mask,
     bbox (Q, code), gt (Gt, 7|9) gravity-centered. Returns (Q,) int32."""
     norm_gt = encode_boxes(gt_boxes)                # (Gt, 8|10)
     decoded = decode_boxes(bbox_preds)              # (Q, 7|9)
-    cls_cost = focal_cls_cost(cls_scores, gt_labels) * cfg.cls_cost_weight
+    if cfg.cls_cost_type == "soft_focal":
+        cls_cost = soft_focal_cls_cost(
+            cls_scores, gt_labels,
+            nearest_bev_iou(decoded, gt_boxes)) * cfg.cls_cost_weight
+    else:
+        cls_cost = focal_cls_cost(cls_scores, gt_labels) \
+            * cfg.cls_cost_weight
     reg_cost = jnp.sum(
         jnp.abs(bbox_preds[:, None, :8] - norm_gt[None, :, :8]),
         axis=-1) * cfg.reg_cost_weight
