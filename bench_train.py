@@ -12,6 +12,7 @@ XLA cost analysis, and a hard assert that the implied TFLOP/s is below
 chip peak.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -21,28 +22,32 @@ from bench import chip_peak_tflops
 N_STEPS = 5
 
 
-def main(batch_size=2):
+def main(preset: str = "uni3detr_sunrgbd", batch_size=2):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_compilation_cache", False)  # axon perf
-    from uni3detr_tpu.presets import SUNRGBD
+    from uni3detr_tpu.presets import PRESETS
     from uni3detr_tpu.train.step import (create_train_state,
                                          make_train_step, make_optimizer)
 
-    cfg = SUNRGBD
+    cfg = PRESETS[preset]
     B, P, G = batch_size, cfg.num_points, cfg.max_gt
     rng = np.random.RandomState(0)
     lo = np.array(cfg.pc_range[:3])
     hi = np.array(cfg.pc_range[3:])
-    boxes = np.concatenate([
-        rng.uniform(lo + 0.5, hi - 0.5, (B, G, 3)),
-        rng.uniform(0.3, 1.5, (B, G, 3)),
-        rng.uniform(-np.pi, np.pi, (B, G, 1))], -1).astype(np.float32)
+    parts = [rng.uniform(lo + 0.5, hi - 0.5, (B, G, 3)),
+             rng.uniform(0.3, 1.5, (B, G, 3)),
+             rng.uniform(-np.pi, np.pi, (B, G, 1))]
+    if cfg.code_size > 8:
+        parts.append(rng.uniform(-2, 2, (B, G, 2)))  # velocity
+    boxes = np.concatenate(parts, -1).astype(np.float32)
     pts = rng.uniform(lo, hi, (B, P, 3)).astype(np.float32)
-    pts = np.concatenate([pts, np.zeros((B, P, 1), np.float32)], -1)
+    extra = cfg.in_point_features - 3
+    pts = np.concatenate([pts, np.zeros((B, P, extra), np.float32)], -1)
     batch = {"points": pts, "pts_mask": np.ones((B, P), bool),
              "gt_boxes": boxes,
-             "gt_labels": rng.randint(0, 10, (B, G)).astype(np.int32),
+             "gt_labels": rng.randint(0, cfg.num_classes,
+                                      (B, G)).astype(np.int32),
              "gt_mask": np.ones((B, G), bool)}
 
     tx = make_optimizer(1e-4)
@@ -86,7 +91,9 @@ def main(batch_size=2):
         f"implied {implied_tflops:.1f} TFLOP/s exceeds {kind} peak {peak}"
         " — measurement is broken, refusing to report")
     print(json.dumps({
-        "metric": "sunrgbd_train_scenes_per_sec",
+        "metric": ("sunrgbd_train_scenes_per_sec"
+                   if preset == "uni3detr_sunrgbd"
+                   else f"{preset}_train_scenes_per_sec"),
         "value": round(B / dt, 3),
         "unit": "scenes/sec/chip",
         "step_seconds": round(dt, 4),
@@ -99,4 +106,5 @@ def main(batch_size=2):
 
 
 if __name__ == "__main__":
-    main()
+    main(*(sys.argv[1:2] or ["uni3detr_sunrgbd"]),
+         batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
