@@ -169,11 +169,10 @@ def test_dense_impl_matches_gather_impl():
 
 def test_pallas_gather_conv_interpret():
     """Windowed one-hot Pallas kernel == XLA gather formulation
-    (interpret mode on CPU), including dummy rows, window walking
-    (spread indices), and the custom-vjp backward."""
-    import jax
+    (interpret mode on CPU), including dummy rows and window walking
+    (spread indices)."""
     from uni3detr_tpu.ops.sparse_conv_pallas import (
-        _gather_conv_pallas_raw, _xla_gather_conv, gather_conv_pallas)
+        _gather_conv_pallas_raw, _xla_gather_conv)
 
     rng = np.random.RandomState(5)
     B, V, C, Cout, K = 2, 600, 8, 16, 27
@@ -191,34 +190,28 @@ def test_pallas_gather_conv_interpret():
     out = _gather_conv_pallas_raw(feats, i, W, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
-    # backward (asymmetric path: Pallas dW + XLA scatter dfeats)
+
+
+def _interp_mocks(mod):
+    """Route the custom-vjp internals through XLA/interpret for CPU."""
     import unittest.mock as mock
-    import uni3detr_tpu.ops.sparse_conv_pallas as mod
     real_rows = mod.gather_rows_pallas
-    with mock.patch.object(
-            mod, "_gather_conv_pallas_raw",
-            lambda f, n, w, interpret=False: mod._xla_gather_conv(
-                f, n, w)), \
-         mock.patch.object(
-            mod, "gather_rows_pallas",
-            lambda f, n, interpret=False: real_rows(
-                f, n, interpret=True)):
-        g1 = jax.grad(lambda f, w: (gather_conv_pallas(f, i, w, False)
-                                    ** 2).sum(), argnums=(0, 1))(feats, W)
-    g2 = jax.grad(lambda f, w: (_xla_gather_conv(f, i, w) ** 2
-                                ).sum(), argnums=(0, 1))(feats, W)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
+    return (mock.patch.object(
+                mod, "_gather_conv_pallas_raw",
+                lambda f, n, w, interpret=False: mod._xla_gather_conv(
+                    f, n, w)),
+            mock.patch.object(
+                mod, "gather_rows_pallas",
+                lambda f, n, interpret=False: real_rows(
+                    f, n, interpret=True)))
 
 
 def test_pallas_gather_conv_symmetric_backward():
-    """Symmetric (submanifold) backward: dfeats via the same kernel with
+    """Submanifold backward: dfeats via the same kernel with
     kernel-flipped transposed weights equals autodiff of the XLA form,
     on a REAL subm rulebook."""
     import jax
     import uni3detr_tpu.ops.sparse_conv_pallas as mod
-    import unittest.mock as mock
 
     rng = np.random.RandomState(7)
     grid = (6, 10, 12)
@@ -236,18 +229,45 @@ def test_pallas_gather_conv_symmetric_backward():
                         * mask[None, :, None])
     Wt = jnp.asarray(rng.randn(K, C, Cout).astype(np.float32) * 0.1)
     i = jnp.asarray(nb)[None]
-    real_rows = mod.gather_rows_pallas
-    with mock.patch.object(
-            mod, "_gather_conv_pallas_raw",
-            lambda f, n_, w, interpret=False: mod._xla_gather_conv(
-                f, n_, w)), \
-         mock.patch.object(
-            mod, "gather_rows_pallas",
-            lambda f, n_, interpret=False: real_rows(
-                f, n_, interpret=True)):
-        g1 = jax.grad(lambda f, w: (mod.gather_conv_pallas(f, i, w, True)
-                                    ** 2).sum(), argnums=(0, 1))(feats,
-                                                                 Wt)
+    m1, m2 = _interp_mocks(mod)
+    with m1, m2:
+        g1 = jax.grad(lambda f, w: (mod.gather_conv_pallas(
+            f, i, w, i, True) ** 2).sum(), argnums=(0, 1))(feats, Wt)
+    g2 = jax.grad(lambda f, w: (mod._xla_gather_conv(f, i, w) ** 2
+                                ).sum(), argnums=(0, 1))(feats, Wt)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gather_conv_strided_backward():
+    """Strided backward: dfeats via the inverse rulebook
+    (strided_inverse_neighbor_idx, un-flipped transposed weights) equals
+    autodiff of the XLA form on a REAL strided rulebook."""
+    import jax
+    import uni3detr_tpu.ops.sparse_conv_pallas as mod
+    from uni3detr_tpu.ops.sparse_conv import strided_inverse_neighbor_idx
+
+    rng = np.random.RandomState(8)
+    V = 64
+    coords, mask = _random_sites(rng, 40, V)
+    padding = (0, 1, 1)
+    oc, om, og = downsample_sites(
+        jnp.asarray(coords), jnp.asarray(mask), GRID, padding, V)
+    sidx = strided_neighbor_idx(oc, om, jnp.asarray(coords),
+                                jnp.asarray(mask), GRID, padding)
+    inv = strided_inverse_neighbor_idx(
+        jnp.asarray(coords), jnp.asarray(mask), oc, om, og, padding)
+    C, Cout, K = 4, 8, 27
+    feats = jnp.asarray(rng.randn(1, V, C).astype(np.float32)
+                        * np.asarray(mask)[None, :, None])
+    Wt = jnp.asarray(rng.randn(K, C, Cout).astype(np.float32) * 0.1)
+    i = jnp.asarray(sidx)[None]
+    iv = jnp.asarray(inv)[None]
+    m1, m2 = _interp_mocks(mod)
+    with m1, m2:
+        g1 = jax.grad(lambda f, w: (mod.gather_conv_pallas(
+            f, i, w, iv, False) ** 2).sum(), argnums=(0, 1))(feats, Wt)
     g2 = jax.grad(lambda f, w: (mod._xla_gather_conv(f, i, w) ** 2
                                 ).sum(), argnums=(0, 1))(feats, Wt)
     for a, b in zip(g1, g2):

@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops.sparse_conv import (
     subm_neighbor_idx, gather_conv, downsample_sites, strided_neighbor_idx,
-    build_position_table,
+    strided_inverse_neighbor_idx, build_position_table,
 )
 from ..ops.voxelize import scatter_to_dense
 from .layers import MaskedBatchNorm
@@ -46,7 +46,10 @@ class _SpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, neighbor_idx=None, stride: int = 1,
-                 padding=(1, 1, 1), symmetric: bool = True):
+                 padding=(1, 1, 1), bwd_idx=None, bwd_flip: bool = True):
+        """``bwd_idx``/``bwd_flip``: transposed-conv rulebook for the
+        Pallas backward — defaults to the (symmetric) submanifold rule;
+        strided callers pass the inverse rulebook with bwd_flip=False."""
         cin = x.shape[-1]
         w = self.param(
             "kernel",
@@ -57,8 +60,10 @@ class _SpConv(nn.Module):
                                                  pallas_fits)
             if (jax.default_backend() not in ("cpu",)
                     and pallas_fits(x.shape[1], cin)):
-                return gather_conv_pallas(x, neighbor_idx, w,
-                                          symmetric)
+                if bwd_idx is None:
+                    bwd_idx = neighbor_idx
+                return gather_conv_pallas(x, neighbor_idx, w, bwd_idx,
+                                          bwd_flip)
             return jax.vmap(gather_conv, in_axes=(0, 0, None))(
                 x, neighbor_idx, w)
         k = round(self.kernel_volume ** (1.0 / 3.0))
@@ -164,8 +169,13 @@ class SparseEncoderHD(nn.Module):
                     in_axes=(0, 0, 0, 0, None, None, None, None, 0))(
                         new_coords, new_mask, coords, vmask, grid, pad,
                         2, 3, table)
+                inv_idx = jax.vmap(
+                    strided_inverse_neighbor_idx,
+                    in_axes=(0, 0, 0, 0, None, None))(
+                        coords, vmask, new_coords, new_mask, new_grid,
+                        pad)
                 x = _SpConv(blocks[-1], name=f"stage{i+1}_down")(
-                    x, sidx, symmetric=False)
+                    x, sidx, bwd_idx=inv_idx, bwd_flip=False)
                 x = MaskedBatchNorm(name=f"stage{i+1}_down_bn")(
                     x, new_mask, train)
                 x = nn.relu(x)

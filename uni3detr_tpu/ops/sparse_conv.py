@@ -167,6 +167,34 @@ def downsample_sites(coords, mask, grid, padding: Sequence[int],
     return oc, out_mask, out_grid
 
 
+def strided_inverse_neighbor_idx(in_coords, in_mask, out_coords, out_mask,
+                                 out_grid, padding: Sequence[int],
+                                 stride: int = 2, kernel: int = 3,
+                                 out_table=None):
+    """Inverse rulebook of a strided conv: (V_in, K) indices into the
+    OUTPUT list — for input u and offset k, the output o with
+    ``stride*o - padding + off_k == u`` (if on-lattice and present).
+
+    Used by the Pallas backward: dfeat[u] = sum_k dout[inv[u,k]] @ W[k]^T,
+    turning the cotangent scatter into the same windowed gather-conv.
+    """
+    Vout = out_coords.shape[0]
+    Do, Ho, Wo = out_grid
+    if out_table is None:
+        out_table = build_position_table(out_coords, out_mask, out_grid)
+    offs = _kernel_offsets(kernel)  # (K, 3)
+    pad = jnp.asarray(padding, jnp.int32)
+    num = in_coords[:, None, :] + pad[None, None, :] - offs[None, :, :]
+    div = num // stride
+    on_lattice = jnp.all((num % stride) == 0, axis=-1) \
+        & jnp.all(num >= 0, axis=-1)
+    inb = (on_lattice & (div[..., 0] < Do) & (div[..., 1] < Ho)
+           & (div[..., 2] < Wo) & in_mask[:, None])
+    nid = (div[..., 0] * Ho + div[..., 1]) * Wo + div[..., 2]
+    return _table_lookup(out_table, nid, inb, Vout).reshape(
+        in_coords.shape[0], -1)
+
+
 def strided_neighbor_idx(out_coords, out_mask, in_coords, in_mask, grid,
                          padding: Sequence[int], stride: int = 2,
                          kernel: int = 3, table=None):

@@ -30,8 +30,8 @@ so ``d features`` is the SAME windowed gather-conv applied to the
 output cotangent with kernel-flipped transposed weights, and
 ``d weights`` contracts the materialized gathered rows (a weights-free
 variant of the kernel) against the cotangent — no XLA scatter anywhere.
-Strided rulebooks (3 of ~15 convs, asymmetric site sets) fall back to
-the XLA formulation for ``d features``.
+Strided rulebooks use the inverse rulebook
+(``strided_inverse_neighbor_idx``) the same way — no fallback.
 """
 from __future__ import annotations
 
@@ -465,22 +465,27 @@ def gather_rows_pallas(features, neighbor_idx, interpret: bool = False):
     return _rows_packed(features, neighbor_idx, interpret=interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gather_conv_pallas(features, neighbor_idx, weights,
-                       symmetric: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_conv_pallas(features, neighbor_idx, weights, bwd_idx,
+                       bwd_flip: bool = True):
     """TPU sparse conv: forward via the windowed one-hot kernel.
     Batched: (B, V, C) x (B, Vout, K) -> (B, Vout, Cout).
 
-    ``symmetric=True`` marks a submanifold rulebook (n(v,k)=u iff
-    n(u,K-1-k)=v): d features then reuses this same kernel with
-    kernel-flipped transposed weights; otherwise (strided) it falls back
-    to XLA's scatter-add. d weights always contracts the Pallas-gathered
-    rows against the cotangent."""
+    ``bwd_idx`` is the rulebook of the TRANSPOSED conv, used so
+    d features is the same windowed gather-conv applied to the output
+    cotangent (no XLA scatter anywhere):
+    - submanifold: the relation is symmetric (n(v,k)=u iff n(u,K-1-k)=v),
+      so pass ``bwd_idx = neighbor_idx`` with ``bwd_flip=True``
+      (kernel-flipped transposed weights);
+    - strided: pass ``strided_inverse_neighbor_idx`` (indices into the
+      OUTPUT list) with ``bwd_flip=False``.
+    d weights always contracts the Pallas-gathered rows against the
+    cotangent."""
     return _gather_conv_pallas_raw(features, neighbor_idx, weights)
 
 
 def _xla_gather_conv(features, neighbor_idx, weights):
-    """Batched XLA reference formulation (strided bwd + goldens)."""
+    """Batched XLA reference formulation (goldens / CPU)."""
     def one(f, n):
         V, Cin = f.shape
         Vout, K = n.shape
@@ -495,33 +500,26 @@ def _xla_gather_conv(features, neighbor_idx, weights):
     return jax.vmap(one)(features, neighbor_idx)
 
 
-def _fwd(features, neighbor_idx, weights, symmetric):
+def _fwd(features, neighbor_idx, weights, bwd_idx, bwd_flip):
     # (this JAX passes nondiff args to fwd at their original positions,
     # and first to bwd)
     return _gather_conv_pallas_raw(features, neighbor_idx, weights), (
-        features, neighbor_idx, weights)
+        features, neighbor_idx, weights, bwd_idx)
 
 
-def _bwd(symmetric, res, g):
-    features, neighbor_idx, weights = res
+def _bwd(bwd_flip, res, g):
+    features, neighbor_idx, weights, bwd_idx = res
     K, C, Cout = weights.shape
     # dW[k] = sum_{b,v} gathered[b,v,k,:]^T dout[b,v,:]
     rows = gather_rows_pallas(features, neighbor_idx)   # (B, Vout, K*C)
     dw = jnp.einsum("bvx,bvo->xo", rows.astype(jnp.float32),
                     g.astype(jnp.float32)).reshape(K, C, Cout)
     dw = dw.astype(weights.dtype)
-    if symmetric:
-        # dfeats[u] = sum_k dout[n(u,k)] @ W[K-1-k]^T — the same
-        # windowed gather-conv on the cotangent
-        wb = jnp.swapaxes(weights[::-1], 1, 2)          # (K, Cout, C)
-        df = _gather_conv_pallas_raw(g.astype(features.dtype),
-                                     neighbor_idx, wb)
-    else:
-        _, vjp = jax.vjp(
-            lambda f: _xla_gather_conv(f, neighbor_idx, weights),
-            features)
-        df, = vjp(g)
-    return df.astype(features.dtype), None, dw
+    # dfeats via the transposed-conv rulebook on the same kernel
+    wseq = weights[::-1] if bwd_flip else weights
+    wb = jnp.swapaxes(wseq, 1, 2)                       # (K, Cout, C)
+    df = _gather_conv_pallas_raw(g.astype(features.dtype), bwd_idx, wb)
+    return df.astype(features.dtype), None, dw, None
 
 
 gather_conv_pallas.defvjp(_fwd, _bwd)
