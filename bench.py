@@ -42,10 +42,12 @@ def chip_peak_tflops(kind: str) -> float:
     return 197.0  # conservative default
 
 
-def main(preset: str = "uni3detr_sunrgbd", n_scenes: int = N_SCENES):
+def main(preset: str = "uni3detr_sunrgbd", n_scenes: int = N_SCENES,
+         distribution: str = "clustered"):
     """One JSON line for ``preset`` (default = the driver's headline
     SUN RGB-D metric; pass e.g. ``uni3detr_kitti_car`` /
-    ``uni3detr_nuscenes`` as argv[1] for the outdoor configs)."""
+    ``uni3detr_nuscenes`` as argv[1] for the outdoor configs).
+    ``distribution``: 'clustered' (surface-like, default) | 'uniform'."""
     import jax
     # executables deserialized from the persistent compilation cache run
     # through a pathologically slow path on the axon TPU backend
@@ -115,8 +117,30 @@ def main(preset: str = "uni3detr_sunrgbd", n_scenes: int = N_SCENES):
 
     variables = jax.jit(initfn)(jax.random.PRNGKey(42))
 
+    def make_xyz(key):
+        """Clustered planar-patch point distribution (default): K tight
+        Gaussian blobs squashed along one random axis each — the
+        occupancy pattern of real scans (surfaces), which is what the
+        windowed sparse-conv kernel's pass count actually depends on.
+        Uniform points leave every voxel isolated and understate
+        neighbor-density spikes (VERDICT r2 weak item 4). Pass
+        ``uniform`` as argv[3] to reproduce the old distribution."""
+        if distribution == "uniform":
+            return lo + span * jax.random.uniform(key, (B, P, 3))
+        K = 24
+        kc, ka, kn, kq = jax.random.split(key, 4)
+        centers = lo + span * (0.1 + 0.8 * jax.random.uniform(
+            kc, (B, K, 3)))
+        assign = jax.random.randint(ka, (B, P), 0, K)
+        offs = jax.random.normal(kn, (B, P, 3)) * span * 0.02
+        axis = jax.random.randint(kq, (B, K), 0, 3)
+        squash = 1.0 - 0.95 * jax.nn.one_hot(axis, 3)      # (B, K, 3)
+        xyz = (jnp.take_along_axis(centers, assign[..., None], 1)
+               + offs * jnp.take_along_axis(squash, assign[..., None], 1))
+        return jnp.clip(xyz, lo + 1e-4, lo + span - 1e-3)
+
     def one_scene(variables, key, carry):
-        xyz = lo + span * jax.random.uniform(key, (B, P, 3))
+        xyz = make_xyz(key)
         extra = jax.random.uniform(key, (B, P, C - 3))
         pts = jnp.concatenate([xyz, extra], axis=-1)
         pts = pts + jnp.nan_to_num(carry) * 1e-6  # sequential dependence
@@ -183,9 +207,11 @@ def main(preset: str = "uni3detr_sunrgbd", n_scenes: int = N_SCENES):
         "chip": kind,
         "chip_peak_tflops": peak,
         "n_scenes": n_scenes,
+        "distribution": distribution,
     }))
 
 
 if __name__ == "__main__":
     main(*(sys.argv[1:2] or ["uni3detr_sunrgbd"]),
-         n_scenes=int(sys.argv[2]) if len(sys.argv) > 2 else N_SCENES)
+         n_scenes=int(sys.argv[2]) if len(sys.argv) > 2 else N_SCENES,
+         distribution=sys.argv[3] if len(sys.argv) > 3 else "clustered")

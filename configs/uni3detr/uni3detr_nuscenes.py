@@ -41,4 +41,8 @@ data = dict(
 optimizer = dict(type='adamw', lr=2e-5, weight_decay=0.01, clip_norm=10.0)
 lr_config = dict(policy='cyclic', target_ratio=(10, 1e-4),
                  step_ratio_up=0.4)
+# reference uni3detr_nuscenes.py momentum_config: beta1 cycles inversely
+# to the lr (mmcv CyclicMomentumUpdater)
+momentum_config = dict(policy='cyclic', target_ratio=(0.85 / 0.95, 1),
+                       step_ratio_up=0.4)
 total_epochs = 20

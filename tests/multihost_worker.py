@@ -1,0 +1,84 @@
+"""Subprocess worker for tests/test_multihost.py (NOT a pytest module).
+
+Runs one of N processes of a multi-host training job over loopback:
+4 virtual CPU devices per process, ``jax.distributed.initialize`` against
+a local coordinator, tiny-model train steps on a per-process shard of a
+deterministic global batch, losses dumped to a JSON file. SURVEY.md §4:
+this is how "multi-node" is tested without a TPU pod.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GLOBAL_BS = 8
+N_STEPS = 2
+
+
+def make_global_batch():
+    """Deterministic global batch, identical in every process."""
+    import numpy as np
+    from tiny import synth_scene, pad_batch
+    rng = np.random.RandomState(0)
+    scenes = [synth_scene(rng) for _ in range(GLOBAL_BS)]
+    pts, pmask, boxes, labels, gmask = pad_batch(scenes)
+    return {"points": pts, "pts_mask": pmask, "gt_boxes": boxes,
+            "gt_labels": labels, "gt_mask": gmask}
+
+
+def run_steps(local_batch_fn, shard_fn):
+    """Shared by the worker and the single-process reference: init state,
+    replicate, run N_STEPS on the (globally identical) batch."""
+    import jax
+    from tiny import TINY
+    from uni3detr_tpu.parallel.mesh import (make_mesh, set_active_mesh,
+                                            replicate)
+    from uni3detr_tpu.train.step import (create_train_state,
+                                         make_train_step, make_optimizer)
+
+    mesh = make_mesh()
+    set_active_mesh(mesh)
+    batch_local = local_batch_fn()
+    tx = make_optimizer(lambda _: 1e-3)
+    state = create_train_state(TINY, jax.random.PRNGKey(0), batch_local, tx)
+    state = state.replace(params=replicate(state.params, mesh),
+                          batch_stats=replicate(state.batch_stats, mesh),
+                          opt_state=replicate(state.opt_state, mesh))
+    gb = shard_fn(batch_local, mesh)
+    step_fn = make_train_step(TINY, donate=False)
+    losses, gnorms = [], []
+    for _ in range(N_STEPS):
+        state, logs = step_fn(state, gb, jax.random.PRNGKey(1))
+        losses.append(float(logs["total_loss"]))
+        gnorms.append(float(logs["grad_norm"]))
+    set_active_mesh(None)
+    return losses, gnorms
+
+
+def main():
+    pid, nproc, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.device_count() == 4 * nproc
+    from uni3detr_tpu.parallel.mesh import local_slice, global_batch
+
+    def local_batch():
+        full = make_global_batch()
+        sl = local_slice(GLOBAL_BS)
+        return {k: v[sl] for k, v in full.items()}
+
+    losses, gnorms = run_steps(local_batch, global_batch)
+    with open(outfile, "w") as f:
+        json.dump({"process": pid, "losses": losses, "gnorms": gnorms}, f)
+
+
+if __name__ == "__main__":
+    main()

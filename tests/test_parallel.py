@@ -1,11 +1,57 @@
-"""Multi-device (8 virtual CPU) sharding tests."""
+"""Multi-device (8 virtual CPU) sharding tests.
+
+VERDICT round-2 item 4: beyond shape checks, assert NUMERICAL
+equivalence of the sharded programs —
+(a) the 8-device data-parallel train step produces the same loss and
+    grad-norm as the single-device step on the identical global batch
+    (GSPMD's inserted psums == the reference DDP allreduce semantics,
+    SURVEY.md §2.4);
+(b) a spatial=2 sharded forward (volume H axis split, XLA halo-exchanges
+    the dense convs) equals the unsharded forward.
+"""
 import sys
 import pathlib
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from tiny import TINY, synth_scene, pad_batch  # noqa: E402
+
+
+def _batch(bs=8, seed=0):
+    rng = np.random.RandomState(seed)
+    pts, pmask, boxes, labels, gmask = pad_batch(
+        [synth_scene(rng) for _ in range(bs)])
+    return {"points": pts, "pts_mask": pmask, "gt_boxes": boxes,
+            "gt_labels": labels, "gt_mask": gmask}
+
+
+def _run_step(mesh, batch):
+    from uni3detr_tpu.parallel.mesh import (set_active_mesh, shard_batch,
+                                            replicate)
+    from uni3detr_tpu.train.step import (create_train_state,
+                                         make_train_step, make_optimizer)
+    set_active_mesh(mesh)
+    try:
+        tx = make_optimizer(lambda _: 1e-3)
+        state = create_train_state(TINY, jax.random.PRNGKey(0), batch, tx)
+        if mesh is not None:
+            state = state.replace(
+                params=replicate(state.params, mesh),
+                batch_stats=replicate(state.batch_stats, mesh),
+                opt_state=replicate(state.opt_state, mesh))
+            batch = shard_batch(batch, mesh)
+        step_fn = make_train_step(TINY, donate=False)
+        state, logs = step_fn(state, batch, jax.random.PRNGKey(1))
+        _, logs2 = step_fn(state, batch, jax.random.PRNGKey(1))
+        return ([float(logs["total_loss"]), float(logs2["total_loss"])],
+                [float(logs["grad_norm"]), float(logs2["grad_norm"])])
+    finally:
+        set_active_mesh(None)
 
 
 def test_dryrun_multichip_8():
@@ -21,3 +67,58 @@ def test_mesh_helpers():
     batch = {"x": np.zeros((8, 4), np.float32)}
     sharded = shard_batch(batch, mesh)
     assert sharded["x"].sharding.is_fully_replicated is False
+
+
+def test_dp8_step_matches_single_device():
+    """(a) 8-device DP loss/grads == single-device, same global batch."""
+    from uni3detr_tpu.parallel.mesh import make_mesh
+    batch = _batch()
+    losses_1, gnorms_1 = _run_step(None, batch)
+    losses_8, gnorms_8 = _run_step(make_mesh(8, spatial=1), batch)
+    # step 1 on identical params: only reduction order differs (the
+    # grad-norm square-sums millions of fp32 terms whose partition
+    # changes under GSPMD — observed ~2e-4 relative)
+    np.testing.assert_allclose(losses_8[0], losses_1[0], rtol=1e-5)
+    np.testing.assert_allclose(gnorms_8[0], gnorms_1[0], rtol=1e-3)
+    # step 2 runs on params that went through one AdamW update, which
+    # amplifies the fp32 psum-vs-serial rounding (g/(sqrt(v)+eps)) —
+    # observed ~8e-5 relative loss drift. No grad-norm assert here: a
+    # near-tie Hungarian assignment can legitimately flip once params
+    # differ by epsilon, changing the gradient composition (~3%
+    # observed) while the loss stays put.
+    np.testing.assert_allclose(losses_8[1], losses_1[1], rtol=5e-4)
+
+
+def test_spatial2_forward_matches_unsharded():
+    """(b) spatial=2 forward output == unsharded forward output."""
+    from uni3detr_tpu.parallel.mesh import make_mesh, set_active_mesh, \
+        shard_batch
+    from uni3detr_tpu.models.detector import Uni3DETR
+
+    batch = _batch(bs=4, seed=3)
+    model = Uni3DETR(TINY)
+    rnd = jax.random.uniform(jax.random.PRNGKey(5),
+                             (4, TINY.num_query, 3))
+
+    def fwd(b):
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.asarray(b["points"]),
+                               jnp.asarray(b["pts_mask"]),
+                               train=False, random_points=rnd)
+        return model.apply(variables, jnp.asarray(b["points"]),
+                           jnp.asarray(b["pts_mask"]), train=False,
+                           random_points=rnd)
+
+    set_active_mesh(None)
+    ref = jax.tree_util.tree_map(np.asarray, fwd(batch))
+
+    mesh = make_mesh(8, spatial=2)
+    set_active_mesh(mesh)
+    try:
+        sb = shard_batch(batch, mesh)
+        out = jax.tree_util.tree_map(np.asarray, fwd(sb))
+    finally:
+        set_active_mesh(None)
+    for k in ref:
+        np.testing.assert_allclose(out[k], ref[k], atol=2e-5,
+                                   err_msg=k)

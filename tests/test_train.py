@@ -92,3 +92,46 @@ def test_eval_step_shapes():
     assert scores.shape == (2, TINY.max_num)
     assert labels.shape == (2, TINY.max_num)
     assert valid.shape == (2, TINY.max_num)
+
+
+def test_resume_round_trip(tmp_path):
+    """VERDICT round-2 item 9: train 3 steps -> save -> restore -> params/
+    opt-state/step bitwise equal, and continued training is deterministic
+    (same next-step loss from the restored state as from the live one)."""
+    from uni3detr_tpu.train.checkpoint import (save_checkpoint,
+                                               load_checkpoint,
+                                               restore_state)
+    batch = _batch(7)
+    tx = make_optimizer(step_lr_schedule(1e-3, 10, [5]))
+    state = create_train_state(TINY, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(TINY, donate=False)
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, meta={"epoch": 1, "step": 3})
+
+    # fresh state (different seed -> different params), then restore
+    state2 = create_train_state(TINY, jax.random.PRNGKey(42), batch, tx)
+    tree, meta = load_checkpoint(path, target_state=state2)
+    state2 = restore_state(state2, tree)
+    assert meta["step"] == 3
+    assert int(state2.step) == int(state.step) == 3
+
+    def assert_tree_equal(a, b, what):
+        fa = jax.tree_util.tree_leaves(a)
+        fb = jax.tree_util.tree_leaves(b)
+        assert len(fa) == len(fb), what
+        for x, y in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=what)
+
+    assert_tree_equal(state.params, state2.params, "params")
+    assert_tree_equal(state.batch_stats, state2.batch_stats, "batch_stats")
+    assert_tree_equal(state.opt_state, state2.opt_state, "opt_state")
+
+    # continued training is deterministic across the round trip
+    s_a, logs_a = step(state, batch, jax.random.PRNGKey(1))
+    s_b, logs_b = step(state2, batch, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(float(logs_a["total_loss"]),
+                                  float(logs_b["total_loss"]))
+    assert_tree_equal(s_a.params, s_b.params, "params after resume step")

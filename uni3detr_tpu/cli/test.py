@@ -25,13 +25,28 @@ def parse_args():
     p.add_argument("--tta", action="store_true",
                    help="test-time augmentation over the cfg 'tta' grid "
                         "(MultiRotScaleFlipAug3D equivalent)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(reference dist_test.sh)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    import os
     import jax
+    plat = os.environ.get("UNI3DETR_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if args.num_processes > 1:
+        from ..parallel.mesh import init_distributed
+        pid = args.process_id if args.process_id is not None else int(
+            os.environ.get("JAX_PROCESS_ID", "0"))
+        init_distributed(args.coordinator or "localhost:29400",
+                         args.num_processes, pid)
     jax.config.update("jax_enable_compilation_cache", False)  # axon perf
     from ..config import load_config, merge_cfg_options, build_model_config
     from ..data.datasets import build_dataset, collate_batch

@@ -26,14 +26,24 @@ def parse_args():
                    help="cap total steps (smoke runs)")
     p.add_argument("--spatial-shard", type=int, default=1,
                    help="mesh size along the spatial axis")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(reference dist_train.sh torch.distributed.launch)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
 
-def batch_iterator(dataset, batch_size, cfg_model, rng, pool):
+def batch_iterator(dataset, batch_size, cfg_model, rng, pool,
+                   local=slice(None)):
     """Shuffled epoch iterator with threaded sample loading. The tail
     partial batch is padded by wrapping to the epoch's first samples so
-    every sample is seen and the jitted step keeps one static shape."""
+    every sample is seen and the jitted step keeps one static shape.
+
+    ``local``: this process's slice of each global batch — every process
+    draws the same shuffled order (same seed), so the per-process shards
+    assemble into a consistent global batch (mesh.global_batch)."""
     order = rng.permutation(len(dataset))
     if len(order) % batch_size:
         # np.resize wraps, covering datasets smaller than one batch too
@@ -41,7 +51,7 @@ def batch_iterator(dataset, batch_size, cfg_model, rng, pool):
                           - len(order) % batch_size)
     from ..data.datasets import collate_batch
     for i in range(0, len(order) - batch_size + 1, batch_size):
-        idxs = order[i:i + batch_size]
+        idxs = order[i:i + batch_size][local]
         samples = list(pool.map(dataset.__getitem__, idxs))
         batch, metas = collate_batch(
             samples, cfg_model.num_points, cfg_model.max_gt,
@@ -76,14 +86,29 @@ def prefetch(iterator, depth: int = 2):
 def main():
     args = parse_args()
     import jax
+    # sitecustomize pre-imports jax and pins JAX_PLATFORMS=axon on this
+    # image, so the plain env var cannot select CPU; honor an explicit
+    # override through jax.config before any backend initializes
+    plat = os.environ.get("UNI3DETR_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if args.num_processes > 1:
+        # reference: init_dist NCCL before anything touches devices
+        # (extra_tools/train.py:152-160)
+        from ..parallel.mesh import init_distributed
+        pid = args.process_id if args.process_id is not None else int(
+            os.environ.get("JAX_PROCESS_ID", "0"))
+        init_distributed(args.coordinator or "localhost:29400",
+                         args.num_processes, pid)
     jax.config.update("jax_enable_compilation_cache", False)  # axon perf
     from ..config import load_config, merge_cfg_options, build_model_config
     from ..data.datasets import build_dataset
-    from ..parallel.mesh import make_mesh, shard_batch, replicate, \
-        set_active_mesh
+    from ..parallel.mesh import (make_mesh, global_batch, replicate,
+                                 set_active_mesh, is_main_process,
+                                 local_slice, to_host, barrier)
     from ..train.step import (create_train_state, make_train_step,
                               make_optimizer, step_lr_schedule,
-                              cyclic_lr_schedule)
+                              cyclic_lr_schedule, cyclic_momentum_schedule)
     from ..train.checkpoint import save_checkpoint, load_checkpoint, \
         restore_state
 
@@ -93,21 +118,30 @@ def main():
     work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
+    log_name = "train.log" if is_main_process() \
+        else f"train.rank{jax.process_index()}.log"
     logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(message)s", force=True,
+        level=logging.INFO if is_main_process() else logging.WARNING,
+        format="%(asctime)s %(message)s", force=True,
         handlers=[logging.StreamHandler(),
-                  logging.FileHandler(os.path.join(work_dir, "train.log"))])
+                  logging.FileHandler(os.path.join(work_dir, log_name))])
     log = logging.getLogger("train")
     log.info("config: %s", args.config)
-    log.info("devices: %s", jax.devices())
+    log.info("devices: %d global / %d local, %d processes",
+             jax.device_count(), jax.local_device_count(),
+             jax.process_count())
 
     seed = args.seed if args.seed is not None else cfg.get("seed", 0)
     rng = np.random.RandomState(seed)
 
     dataset = build_dataset(cfg.data, cfg.class_names, model_cfg.pc_range,
                             "train")
+    # global batch over every data-parallel device in the job (autoscale
+    # semantics of samples_per_gpu x world_size, reference train.py:148)
     bs = cfg.data.get("samples_per_gpu", 2) * max(
-        1, len(jax.devices()) // args.spatial_shard)
+        1, jax.device_count() // args.spatial_shard)
+    batch_slice = local_slice(bs) if jax.process_count() > 1 \
+        else slice(None)
     steps_per_epoch = max(len(dataset) // bs, 1)
     epochs = cfg.get("total_epochs", 40)
 
@@ -137,15 +171,26 @@ def main():
                 if path.startswith(prefix):
                     return m
             return 1.0
+    # cyclic momentum (nuScenes momentum_config, mmcv
+    # CyclicMomentumUpdater over Adam beta1)
+    mom_cfg = cfg.get("momentum_config") or {}
+    mom_sched = None
+    if mom_cfg.get("policy") == "cyclic":
+        mom_sched = cyclic_momentum_schedule(
+            opt.get("beta1", 0.9), steps_per_epoch * epochs,
+            tuple(mom_cfg.get("target_ratio", (0.85 / 0.95, 1.0))),
+            mom_cfg.get("step_ratio_up", 0.4))
     tx = make_optimizer(sched, opt.get("weight_decay", 0.01),
-                        opt.get("clip_norm", 10.0), lr_mult_fn=lr_mult_fn)
+                        opt.get("clip_norm", 10.0), lr_mult_fn=lr_mult_fn,
+                        momentum_schedule=mom_sched)
 
     mesh = make_mesh(spatial=args.spatial_shard)
     set_active_mesh(mesh if len(jax.devices()) > 1 else None)
 
     pool = ThreadPoolExecutor(max_workers=cfg.data.get(
         "workers_per_gpu", 4))
-    first_batch, _ = next(batch_iterator(dataset, bs, model_cfg, rng, pool))
+    first_batch, _ = next(batch_iterator(dataset, bs, model_cfg, rng, pool,
+                                         batch_slice))
     zs_init = None
     zs_path = getattr(model_cfg, "zeroshot_path", None)
     if zs_path:
@@ -166,7 +211,7 @@ def main():
                 params, n = load_branch(params, tree["params"], k, k)
                 log.info("staged init: %s <- %s (%d tensors)", k, src, n)
             state = state.replace(params=params)
-    if len(jax.devices()) > 1:
+    if jax.device_count() > 1:
         state = state.replace(params=replicate(state.params, mesh),
                               batch_stats=replicate(state.batch_stats, mesh),
                               opt_state=replicate(state.opt_state, mesh))
@@ -185,7 +230,7 @@ def main():
     val_dataset = eval_fn = None
     if eval_int:
         from ..train.step import make_eval_step
-        from ..train.evaluator import run_inference, evaluate
+        from ..train.evaluator import evaluate
         val_dataset = build_dataset(cfg.data, cfg.class_names,
                                     model_cfg.pc_range, "val")
         eval_fn = make_eval_step(model_cfg)
@@ -198,6 +243,20 @@ def main():
                 "config_path": os.path.abspath(args.config),
                 "config": dict(cfg)}
 
+    def save_ckpt(path, st, meta):
+        """Multi-process: the main process writes a host-side copy (every
+        leaf is replicated); others just synchronize."""
+        if jax.process_count() > 1:
+            host = st.replace(params=to_host(st.params),
+                              batch_stats=to_host(st.batch_stats),
+                              opt_state=to_host(st.opt_state),
+                              step=to_host(st.step))
+            if is_main_process():
+                save_checkpoint(path, host, meta)
+            barrier("ckpt")
+        else:
+            save_checkpoint(path, st, meta)
+
     step_fn = make_train_step(model_cfg)
     base_key = jax.random.PRNGKey(seed + 1)  # folded with step on device
     log_int = cfg.get("log_config", {}).get("interval", 50)
@@ -206,9 +265,10 @@ def main():
     t_last = time.time()
     for epoch in range(start_epoch, epochs):
         for batch, _ in prefetch(
-                batch_iterator(dataset, bs, model_cfg, rng, pool)):
-            if len(jax.devices()) > 1:
-                batch = shard_batch(batch, mesh)
+                batch_iterator(dataset, bs, model_cfg, rng, pool,
+                               batch_slice)):
+            if jax.device_count() > 1:
+                batch = global_batch(batch, mesh)
             state, logs = step_fn(state, batch, base_key)
             gstep += 1
             if gstep % log_int == 0:
@@ -222,26 +282,29 @@ def main():
                          logs["loss_bbox"], logs["loss_iou"],
                          logs["loss_iou_pred"], logs["grad_norm"])
             if args.max_steps and gstep >= args.max_steps:
-                save_checkpoint(os.path.join(work_dir, "latest"), state,
-                                ckpt_meta(epoch, gstep))
+                save_ckpt(os.path.join(work_dir, "latest"), state,
+                          ckpt_meta(epoch, gstep))
                 log.info("max steps reached; checkpoint saved")
                 return
         if (epoch + 1) % ckpt_int == 0:
-            save_checkpoint(os.path.join(work_dir, f"epoch_{epoch+1}"),
-                            state, ckpt_meta(epoch + 1, gstep))
-            save_checkpoint(os.path.join(work_dir, "latest"), state,
-                            ckpt_meta(epoch + 1, gstep))
+            save_ckpt(os.path.join(work_dir, f"epoch_{epoch+1}"),
+                      state, ckpt_meta(epoch + 1, gstep))
+            save_ckpt(os.path.join(work_dir, "latest"), state,
+                      ckpt_meta(epoch + 1, gstep))
             log.info("checkpoint saved at epoch %d", epoch + 1)
         if eval_int and (epoch + 1) % eval_int == 0:
-            dets, gts = run_inference(
+            from ..train.evaluator import run_inference_distributed
+            dets, gts = run_inference_distributed(
                 val_dataset, state, eval_fn, model_cfg,
                 batch_size=cfg.data.get("samples_per_gpu", 1),
                 max_samples=cfg.get("evaluation", {}).get("max_samples"),
-                box_type=cfg.data.get("box_type", "Depth"))
-            res = evaluate(dets, gts, cfg, val_dataset, log=log.info)
-            log.info("eval epoch %d | %s", epoch + 1,
-                     " ".join(f"{k}={v:.4f}" for k, v in res.items()
-                              if isinstance(v, float) and v == v))
+                box_type=cfg.data.get("box_type", "Depth"),
+                tmpdir=os.path.join(work_dir, ".dist_eval"))
+            if is_main_process():
+                res = evaluate(dets, gts, cfg, val_dataset, log=log.info)
+                log.info("eval epoch %d | %s", epoch + 1,
+                         " ".join(f"{k}={v:.4f}" for k, v in res.items()
+                                  if isinstance(v, float) and v == v))
             t_last = time.time()
 
 

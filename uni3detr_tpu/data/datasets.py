@@ -151,6 +151,13 @@ class DetDataset:
             boxes = boxes[keep] if len(boxes) else boxes
             labels = np.asarray(
                 [self.class_names.index(names[i]) for i in keep], np.int32)
+            attrs = info.get("gt_attrs")
+            if attrs is not None:
+                # eval-only (AAE); carried in meta because augmentation
+                # transforms don't track it — the test pipeline leaves GT
+                # untouched so the keep-filtered alignment holds
+                meta["gt_attrs"] = np.asarray(attrs)[keep] \
+                    if len(keep) else np.asarray([], dtype=object)
             meta["sweeps"] = info.get("sweeps", [])
             meta["timestamp"] = info.get("timestamp", 0)
             meta["token"] = info.get("token")

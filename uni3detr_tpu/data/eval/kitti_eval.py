@@ -1,18 +1,27 @@
-"""KITTI-style 3D AP evaluation (AP11 / AP40 by difficulty).
+"""KITTI-style AP evaluation: 3D / BEV / 2D-bbox AP + AOS, AP11 / AP40.
 
 Capability parity with the KITTI eval the reference delegates to mmdet3d
-(SURVEY.md §3.2): per class x difficulty x IoU-threshold 3D AP with the
-official recall-point interpolation (11 points for AP11, 40 for AP_R40).
+(SURVEY.md §3.2): per class x difficulty x IoU-threshold AP with the
+official recall-point interpolation (11 points for AP11, 40 for AP_R40),
+over three overlap modes —
+
+- ``3d``: exact rotated 3D IoU;
+- ``bev``: exact rotated bird's-eye IoU (official bev metric);
+- ``bbox`` + ``aos``: 2D image-box IoU, plus Average Orientation
+  Similarity ( (1+cos dalpha)/2 accumulated over TPs, official
+  eval.cpp semantics ) — computed when detections carry projected
+  2D boxes ('bbox', from :func:`project_boxes_to_image`) and
+  observation angles ('alpha', from :func:`lidar_alpha`).
 
 Difficulty follows the official GT criteria when the info fields are
-available (bbox height / occlusion / truncation). Detections are filtered
-by projected 2D-box height like the official eval when they carry a
-'bbox' field — :func:`project_boxes_to_image` produces it from the info
-calib (the test CLI wires this via
-:func:`uni3detr_tpu.train.evaluator.evaluate`). One documented deviation:
-a height-ignored detection is dropped from matching entirely, where the
-official eval lets it consume an ignored GT first — this only shifts
-scores when an undersized detection overlaps an undersized GT.
+available (bbox height / occlusion / truncation). Ignore handling
+follows the official eval: a detection whose projected 2D height is
+below the difficulty minimum is never a FP and may consume an ignored
+GT (marking it matched) before other detections see it; a detection
+matching an ignored GT counts neither TP nor FP. Remaining documented
+deviation: matching is greedy in detection-score order (mmdet3d-style)
+rather than the official gt-major assignment, and DontCare regions are
+not modelled.
 """
 from __future__ import annotations
 
@@ -53,10 +62,26 @@ def project_boxes_to_image(boxes_lidar, calib, image_shape=None):
     return bbox.astype(np.float32)
 
 
+def lidar_alpha(boxes_lidar, calib):
+    """Observation angle alpha of lidar boxes (official label field:
+    alpha = rotation_y - atan2(x_cam, z_cam); rotation_y = -yaw - pi/2
+    under the mmdet3d lidar->cam yaw convention)."""
+    if len(boxes_lidar) == 0:
+        return np.zeros((0,), np.float32)
+    R0 = np.asarray(calib["R0_rect"], np.float64)
+    Tr = np.asarray(calib["Tr_velo_to_cam"], np.float64)
+    ctr = np.asarray(boxes_lidar, np.float64)[:, :3]
+    hom = np.concatenate([ctr, np.ones((len(ctr), 1))], 1)
+    cam = hom @ (R0 @ Tr).T                         # (N, 4)
+    ry = -np.asarray(boxes_lidar)[:, 6] - np.pi / 2
+    alpha = ry - np.arctan2(cam[:, 0], np.maximum(cam[:, 2], 1e-6))
+    return alpha.astype(np.float32)
+
+
 def kitti_gt_from_info(info, classes):
     """Rebuild a full-annotation GT dict from an info record (the official
     eval scores against raw annotations, not the range-filtered training
-    view): boxes_lidar + labels + the difficulty fields."""
+    view): boxes_lidar + labels + the difficulty/orientation fields."""
     annos = info.get("annos", {})
     names = list(annos.get("name", []))
     keep = [i for i, n in enumerate(names) if n in classes]
@@ -65,7 +90,7 @@ def kitti_gt_from_info(info, classes):
     gt = {"boxes": boxes[keep] if len(boxes) else boxes,
           "labels": np.asarray([classes.index(names[i]) for i in keep],
                                np.int32)}
-    for k in ("bbox", "occluded", "truncated"):
+    for k in ("bbox", "occluded", "truncated", "alpha"):
         if k in annos:
             gt[k] = np.asarray(annos[k])[keep]
     return gt
@@ -77,6 +102,8 @@ DIFFICULTY = {
     2: (25, 2, 0.50),   # hard
 }
 DEFAULT_IOU_THR = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+# official 2D-bbox thresholds match the 3D ones for the shipped classes
+DEFAULT_IOU_THR_2D = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 
 
 def _gt_difficulty_mask(gt: dict, level: int):
@@ -92,6 +119,20 @@ def _gt_difficulty_mask(gt: dict, level: int):
     return valid, ignored
 
 
+def _iou2d_matrix(db, gb):
+    """(D, 4) x (G, 4) xyxy -> (D, G) IoU."""
+    if len(db) == 0 or len(gb) == 0:
+        return np.zeros((len(db), len(gb)), np.float32)
+    x1 = np.maximum(db[:, None, 0], gb[None, :, 0])
+    y1 = np.maximum(db[:, None, 1], gb[None, :, 1])
+    x2 = np.minimum(db[:, None, 2], gb[None, :, 2])
+    y2 = np.minimum(db[:, None, 3], gb[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    a1 = (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1])
+    a2 = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
+    return inter / np.maximum(a1[:, None] + a2[None, :] - inter, 1e-9)
+
+
 def _ap_from_pr(recalls, precisions, n_points):
     if n_points == 11:
         thresholds = np.linspace(0.0, 1.0, 11)
@@ -104,70 +145,136 @@ def _ap_from_pr(recalls, precisions, n_points):
     return ap
 
 
+def _accumulate_metric(entries, level, thr, ov_key, n_points,
+                       with_aos=False):
+    """One (class, difficulty, overlap-mode) PR accumulation.
+
+    entries: per-scene dicts with 'gt', 'scores', 'det_h', overlap
+    matrices under ov_key, and optionally 'sim' (D, G) orientation
+    similarities. Returns (ap*100 or nan, aos*100 or None)."""
+    hmin = DIFFICULTY[level][0]
+    tp, fp, scores, sims, n_gt = [], [], [], [], 0
+    for e in entries:
+        ov = e[ov_key]
+        valid, ignored = _gt_difficulty_mask(e["gt"], level)
+        n_gt += int(valid.sum())
+        sc = e["scores"]
+        det_h = e["det_h"]
+        order = np.argsort(-sc)
+        matched = np.zeros(ov.shape[1], bool)
+        for d in order:
+            det_ign = det_h is not None and det_h[d] < hmin
+            if det_ign:
+                # official clean_data: undersized det is never a FP, but
+                # consumes an IGNORED GT it overlaps (so the GT can't be
+                # "free" for later detections)
+                if ov.shape[1]:
+                    cand = ov[d] * (ignored & ~matched)
+                    j = int(np.argmax(cand))
+                    if cand[j] >= thr:
+                        matched[j] = True
+                continue
+            if ov.shape[1]:
+                j = int(np.argmax(ov[d] * ~matched))
+                if ov[d, j] >= thr and not matched[j]:
+                    matched[j] = True
+                    if ignored[j]:
+                        continue  # neither TP nor FP
+                    scores.append(sc[d])
+                    tp.append(1.0)
+                    fp.append(0.0)
+                    sims.append(e["sim"][d, j] if with_aos else 0.0)
+                    continue
+            scores.append(sc[d])
+            tp.append(0.0)
+            fp.append(1.0)
+            sims.append(0.0)
+    if n_gt == 0:
+        return float("nan"), (float("nan") if with_aos else None)
+    if not scores:
+        return 0.0, (0.0 if with_aos else None)
+    order = np.argsort(-np.asarray(scores))
+    ctp = np.cumsum(np.asarray(tp)[order])
+    cfp = np.cumsum(np.asarray(fp)[order])
+    rec = ctp / n_gt
+    prec = ctp / np.maximum(ctp + cfp, 1e-9)
+    ap = _ap_from_pr(rec, prec, n_points) * 100.0
+    if not with_aos:
+        return ap, None
+    # AOS: precision-like curve with cumulated orientation similarity in
+    # the numerator (official eval.cpp computeStatistics similarity)
+    csim = np.cumsum(np.asarray(sims)[order])
+    prec_aos = csim / np.maximum(ctp + cfp, 1e-9)
+    aos = _ap_from_pr(rec, prec_aos, n_points) * 100.0
+    return ap, aos
+
+
 def kitti_eval(gt_list: List[dict], det_list: List[dict],
                classes: Sequence[str], iou_thr: Dict[str, float] = None,
                n_points: int = 40) -> Dict:
     """gt_list[i]: {'boxes' (G,7) lidar storage layout, 'labels',
-    optional 'bbox'/'occluded'/'truncated'}; det_list[i]: {'boxes',
-    'labels', 'scores'}. Returns {'{cls}_3d_{easy|moderate|hard}': AP}.
+    optional 'bbox'/'occluded'/'truncated'/'alpha'}; det_list[i]:
+    {'boxes', 'labels', 'scores', optional 'bbox'/'alpha'}.
+
+    Returns {'{cls}_{metric}_{easy|moderate|hard}': AP} for metrics 3d
+    and bev always, plus bbox and aos when both sides carry 2D boxes
+    (aos additionally needs 'alpha' on both sides).
     """
     import jax.numpy as jnp
-    from ...geom.iou import iou3d_rotated
+    from ...geom.iou import iou3d_rotated, iou_bev_rotated
 
     iou_thr = iou_thr or DEFAULT_IOU_THR
     results = {}
     for ci, cls in enumerate(classes):
         thr = iou_thr.get(cls, 0.5)
-        # precompute per-scene class-filtered overlaps
+        thr2d = DEFAULT_IOU_THR_2D.get(cls, 0.5)
         entries = []
+        have_2d = True
+        have_aos = True
         for gt, det in zip(gt_list, det_list):
             gm = gt["labels"] == ci
             dm = det["labels"] == ci
             gb, db = gt["boxes"][gm], det["boxes"][dm]
-            ov = (np.asarray(iou3d_rotated(
-                jnp.asarray(db[:, :7], jnp.float32),
-                jnp.asarray(gb[:, :7], jnp.float32), z_origin="bottom"))
-                if len(gb) and len(db)
-                else np.zeros((len(db), len(gb)), np.float32))
-            sub = {k: np.asarray(gt[k])[gm] for k in
-                   ("bbox", "occluded", "truncated") if k in gt}
-            sub["boxes"] = gb
-            det_h = (det["bbox"][dm][:, 3] - det["bbox"][dm][:, 1]) \
-                if "bbox" in det else None
-            entries.append((sub, det["scores"][dm], ov, det_h))
+            if len(gb) and len(db):
+                j1 = jnp.asarray(db[:, :7], jnp.float32)
+                j2 = jnp.asarray(gb[:, :7], jnp.float32)
+                ov3d = np.asarray(iou3d_rotated(j1, j2, z_origin="bottom"))
+                ovbev = np.asarray(iou_bev_rotated(j1, j2))
+            else:
+                ov3d = np.zeros((len(db), len(gb)), np.float32)
+                ovbev = ov3d
+            e = {"gt": {k: np.asarray(gt[k])[gm] for k in
+                        ("bbox", "occluded", "truncated", "alpha")
+                        if k in gt},
+                 "scores": det["scores"][dm],
+                 "ov3d": ov3d, "ovbev": ovbev}
+            e["gt"]["boxes"] = gb
+            e["det_h"] = ((det["bbox"][dm][:, 3] - det["bbox"][dm][:, 1])
+                          if "bbox" in det else None)
+            if "bbox" in det and "bbox" in gt:
+                e["ov2d"] = _iou2d_matrix(np.asarray(det["bbox"])[dm],
+                                          np.asarray(gt["bbox"])[gm])
+            else:
+                have_2d = False
+            if "alpha" in det and "alpha" in gt:
+                da = np.asarray(det["alpha"])[dm]
+                ga = np.asarray(gt["alpha"])[gm]
+                e["sim"] = (1.0 + np.cos(da[:, None] - ga[None, :])) / 2.0
+            else:
+                have_aos = False
+            entries.append(e)
         for level, lname in ((0, "easy"), (1, "moderate"), (2, "hard")):
-            hmin = DIFFICULTY[level][0]
-            tp, fp, scores, n_gt = [], [], [], 0
-            for gt_sub, sc, ov, det_h in entries:
-                valid, ignored = _gt_difficulty_mask(gt_sub, level)
-                n_gt += int(valid.sum())
-                order = np.argsort(-sc)
-                matched = np.zeros(ov.shape[1], bool)
-                for d in order:
-                    if det_h is not None and det_h[d] < hmin:
-                        continue  # det-height ignore (official eval.py
-                        # clean_data: projected box below min height)
-                    if ov.shape[1]:
-                        j = int(np.argmax(ov[d] * ~matched))
-                        if ov[d, j] >= thr and not matched[j]:
-                            matched[j] = True
-                            if ignored[j]:
-                                continue  # neither TP nor FP
-                            scores.append(sc[d]); tp.append(1.0)
-                            fp.append(0.0)
-                            continue
-                    scores.append(sc[d]); tp.append(0.0); fp.append(1.0)
-            key = f"{cls}_3d_{lname}"
-            if n_gt == 0:
-                results[key] = float("nan")
-                continue
-            if not scores:
-                results[key] = 0.0
-                continue
-            order = np.argsort(-np.asarray(scores))
-            ctp = np.cumsum(np.asarray(tp)[order])
-            cfp = np.cumsum(np.asarray(fp)[order])
-            rec = ctp / n_gt
-            prec = ctp / np.maximum(ctp + cfp, 1e-9)
-            results[key] = _ap_from_pr(rec, prec, n_points) * 100.0
+            ap3d, _ = _accumulate_metric(entries, level, thr, "ov3d",
+                                         n_points)
+            apbev, _ = _accumulate_metric(entries, level, thr, "ovbev",
+                                          n_points)
+            results[f"{cls}_3d_{lname}"] = ap3d
+            results[f"{cls}_bev_{lname}"] = apbev
+            if have_2d:
+                ap2d, aos = _accumulate_metric(
+                    entries, level, thr2d, "ov2d", n_points,
+                    with_aos=have_aos)
+                results[f"{cls}_bbox_{lname}"] = ap2d
+                if have_aos:
+                    results[f"{cls}_aos_{lname}"] = aos
     return results

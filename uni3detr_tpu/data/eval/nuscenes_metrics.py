@@ -16,13 +16,20 @@ CVPR-2019 config) directly on our internal det/gt dicts:
   ATE (BEV center dist), ASE (1 - aligned-size IoU), AOE (yaw diff,
   period pi for barrier), AVE (BEV velocity L2);
 - class rules: traffic_cone has no orientation/velocity, barrier no
-  velocity (matching the devkit's LEAF attribute/vel exclusions);
-- NDS = (5*mAP + sum(max(1 - err, 0))) / (5 + n_tp_terms).
+  velocity/attribute (matching the devkit's exclusions);
+- AAE: 1 - attribute accuracy over TPs whose GT carries an attribute;
+  the detection attribute is derived with the reference's submission
+  rule (speed > 0.2 -> vehicle.moving / cycle.with_rider, else
+  pedestrian.standing / vehicle.stopped / class default —
+  nuscenes_dataset.py:434-453 + DefaultAttribute :74-85). Requires
+  ``attrs`` (GT attribute names) in the gt dicts (the converter records
+  them as ``gt_attrs``); without them AAE falls out of the NDS
+  denominator as before.
+- NDS = (5*mAP + sum(max(1 - err, 0))) / (5 + n_tp_terms) — with
+  attributes available n_tp_terms = 5, the official 10-denominator.
 
-Deviations (documented): distances are measured in the lidar frame
-rather than global (rigid transforms preserve them); the attribute error
-AAE needs attribute GT that our internal dicts don't carry, so it is
-excluded from the NDS denominator instead of being scored.
+Deviation (documented): distances are measured in the lidar frame
+rather than global (rigid transforms preserve them).
 """
 from __future__ import annotations
 
@@ -36,7 +43,34 @@ MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 NO_ORIENT = {"traffic_cone"}
 NO_VELOCITY = {"traffic_cone", "barrier"}
+NO_ATTRIBUTE = {"traffic_cone", "barrier"}
 YAW_PERIOD_PI = {"barrier"}
+
+# reference DefaultAttribute (nuscenes_dataset.py:74-85)
+DEFAULT_ATTRIBUTE = {
+    "car": "vehicle.parked", "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked", "truck": "vehicle.parked",
+    "bus": "vehicle.moving", "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider", "barrier": "", "traffic_cone": "",
+}
+
+
+def det_attribute(cls_name: str, box) -> str:
+    """Submission attribute rule (nuscenes_dataset.py:434-453)."""
+    speed = float(np.hypot(box[7], box[8])) if len(box) > 8 else 0.0
+    if speed > 0.2:
+        if cls_name in ("car", "construction_vehicle", "bus", "truck",
+                        "trailer"):
+            return "vehicle.moving"
+        if cls_name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+        return DEFAULT_ATTRIBUTE.get(cls_name, "")
+    if cls_name == "pedestrian":
+        return "pedestrian.standing"
+    if cls_name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRIBUTE.get(cls_name, "")
 
 
 def _gather_class(det_list, gt_list, ci):
@@ -48,13 +82,24 @@ def _gather_class(det_list, gt_list, ci):
             dets.append((si, b, float(s)))
     dets.sort(key=lambda t: -t[2])
     gts = [gt["boxes"][gt["labels"] == ci] for gt in gt_list]
-    return dets, gts
+    attrs = None
+    if all("attrs" in gt for gt in gt_list):
+        attrs = [np.asarray(gt["attrs"])[gt["labels"] == ci]
+                 for gt in gt_list]
+    return dets, gts, attrs
 
 
 def _cummean(x):
+    """NaN-skipping cumulative mean (devkit utils.cummean): NaN entries
+    (e.g. attribute-less GTs in the AAE curve) don't count."""
     if len(x) == 0:
         return x
-    return np.cumsum(x) / (np.arange(len(x)) + 1)
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    s = np.nancumsum(x)
+    cnt = np.cumsum(~np.isnan(x)).astype(np.float64)
+    return np.divide(s, cnt, out=np.zeros_like(s, np.float64),
+                     where=cnt != 0)
 
 
 def _yaw_diff(a, b, period):
@@ -71,7 +116,7 @@ def _scale_iou(b1, b2):
     return inter / (np.prod(s1) + np.prod(s2) - inter)
 
 
-def _accumulate(dets, gts, cls_name, dist_th, with_vel):
+def _accumulate(dets, gts, cls_name, dist_th, with_vel, gt_attrs=None):
     """One (class, distance threshold) accumulation.
 
     Returns (rec_interp_prec (101,), tp_errs dict of (101,) arrays or
@@ -82,6 +127,9 @@ def _accumulate(dets, gts, cls_name, dist_th, with_vel):
     matched = [np.zeros(len(g), bool) for g in gts]
     tp, fp, conf = [], [], []
     errs = {"ate": [], "ase": [], "aoe": [], "ave": []}
+    with_attr = gt_attrs is not None and cls_name not in NO_ATTRIBUTE
+    if with_attr:
+        errs["aae"] = []
     period = np.pi if cls_name in YAW_PERIOD_PI else 2 * np.pi
     for si, b, score in dets:
         g = gts[si]
@@ -107,6 +155,13 @@ def _accumulate(dets, gts, cls_name, dist_th, with_vel):
                     float(np.hypot(b[7] - gj[7], b[8] - gj[8])))
             else:
                 errs["ave"].append(0.0)
+            if with_attr:
+                ga = str(gt_attrs[si][best_j])
+                # devkit attr_acc: NaN (skipped) when the GT carries no
+                # attribute; else exact-match accuracy
+                errs["aae"].append(
+                    np.nan if ga == ""
+                    else float(det_attribute(cls_name, b) != ga))
         else:
             tp.append(0.0)
             fp.append(1.0)
@@ -125,15 +180,22 @@ def _accumulate(dets, gts, cls_name, dist_th, with_vel):
         is_tp = tp > 0
         tconf = conf[is_tp]
         max_rec = rec[-1] if len(rec) else 0.0
+        # The devkit first interpolates confidence onto the recall grid
+        # (algo.py accumulate: conf = interp(rec_interp, rec, conf,
+        # right=0)), then maps each cum-mean error curve through that
+        # confidence against the TP-only confidences. Both interps run on
+        # reversed arrays because conf descends and np.interp wants
+        # ascending xp.
+        conf_at_recall = (np.interp(rec_interp, rec, conf, right=0.0)
+                          if len(rec) else np.zeros(101))
         for k, v in errs.items():
             v = np.asarray(v, np.float64)
             if len(v) == 0:
                 tp_out[k] = np.full(101, 1.0)
                 continue
             cm = _cummean(v)
-            # conf is descending (dets were score-sorted), np.interp wants
-            # ascending xp — reverse both, exactly the devkit's accumulate
-            tp_out[k] = np.interp(rec_interp, tconf[::-1], cm[::-1])
+            tp_out[k] = np.interp(conf_at_recall[::-1], tconf[::-1],
+                                  cm[::-1])[::-1]
         tp_out["max_recall_ind"] = int(round(100 * max_rec))
     return prec_i, tp_out, npos
 
@@ -159,14 +221,15 @@ def nuscenes_detection_metrics(det_list: List[dict], gt_list: List[dict],
     (bottom-z, optional vx/vy), 'labels', det also 'scores'}.
     Returns per-class AP, mean TP errors, mAP and NDS."""
     out: Dict[str, float] = {}
-    aps, tp_means = [], {"ate": [], "ase": [], "aoe": [], "ave": []}
+    aps = []
+    tp_means = {"ate": [], "ase": [], "aoe": [], "ave": [], "aae": []}
     for ci, cls in enumerate(classes):
-        dets, gts = _gather_class(det_list, gt_list, ci)
+        dets, gts, attrs = _gather_class(det_list, gt_list, ci)
         cls_aps = []
         with_vel = cls not in NO_VELOCITY
         for th in DIST_THRESHOLDS:
             prec_i, tp_out, npos = _accumulate(dets, gts, cls, th,
-                                               with_vel)
+                                               with_vel, gt_attrs=attrs)
             if npos == 0:
                 continue
             cls_aps.append(_calc_ap(prec_i))
@@ -177,16 +240,19 @@ def nuscenes_detection_metrics(det_list: List[dict], gt_list: List[dict],
                     tp_means[k].append(_calc_tp(tp_out, k))
                 if cls not in NO_ORIENT:
                     tp_means["aoe"].append(_calc_tp(tp_out, "aoe"))
+                if "aae" in tp_out:
+                    tp_means["aae"].append(_calc_tp(tp_out, "aae"))
         if cls_aps:
             out[f"{cls}_AP"] = float(np.mean(cls_aps))
             aps.append(out[f"{cls}_AP"])
     out["mAP"] = float(np.mean(aps)) if aps else 0.0
     tp_scores = []
     for k, label in (("ate", "mATE"), ("ase", "mASE"), ("aoe", "mAOE"),
-                     ("ave", "mAVE")):
+                     ("ave", "mAVE"), ("aae", "mAAE")):
         if tp_means[k]:
             out[label] = float(np.mean(tp_means[k]))
             tp_scores.append(max(1.0 - out[label], 0.0))
+    # with attributes recorded this is the official 5+5 denominator
     out["NDS"] = (5.0 * out["mAP"] + sum(tp_scores)) \
         / (5.0 + max(len(tp_scores), 1))
     return out

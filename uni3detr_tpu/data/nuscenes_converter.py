@@ -86,14 +86,18 @@ class NuScenesTables:
     TABLES = ("scene", "sample", "sample_data", "sample_annotation",
               "calibrated_sensor", "ego_pose", "sensor", "instance",
               "category", "log")
+    OPTIONAL_TABLES = ("attribute",)
 
     def __init__(self, root, version):
         self.root = root
         self.version = version
         tdir = os.path.join(root, version)
         self._t = {}
-        for name in self.TABLES:
+        for name in self.TABLES + self.OPTIONAL_TABLES:
             path = os.path.join(tdir, f"{name}.json")
+            if name in self.OPTIONAL_TABLES and not os.path.exists(path):
+                self._t[name] = {}
+                continue
             with open(path) as f:
                 rows = json.load(f)
             self._t[name] = {r["token"]: r for r in rows}
@@ -131,6 +135,14 @@ class NuScenesTables:
     def category_name(self, ann):
         inst = self.get("instance", ann["instance_token"])
         return self.get("category", inst["category_token"])["name"]
+
+    def attribute_name(self, ann):
+        """GT attribute name, '' when the annotation carries none
+        (devkit convention: at most one attribute per annotation)."""
+        toks = ann.get("attribute_tokens", [])
+        if not toks or not self._t["attribute"]:
+            return ""
+        return self.get("attribute", toks[0])["name"]
 
     def box_in_sensor_frame(self, ann, sd_token):
         """Annotation box (global frame) -> the sample_data's sensor
@@ -306,6 +318,11 @@ def fill_trainval_infos(nusc: NuScenesTables, train_scenes, val_scenes,
             info["gt_names"] = np.asarray(names)
             info["gt_velocity"] = np.asarray(
                 vels, np.float64).reshape(-1, 2)
+            # GT attribute names for devkit-free AAE scoring (the devkit
+            # reads these from the DB at eval time; recording them here
+            # keeps the metric computable without the devkit)
+            info["gt_attrs"] = np.asarray(
+                [nusc.attribute_name(a) for a in anns])
             info["num_lidar_pts"] = np.asarray(
                 [a["num_lidar_pts"] for a in anns])
             info["num_radar_pts"] = np.asarray(

@@ -169,11 +169,16 @@ class SparseEncoderHD(nn.Module):
                     in_axes=(0, 0, 0, 0, None, None, None, None, 0))(
                         new_coords, new_mask, coords, vmask, grid, pad,
                         2, 3, table)
-                inv_idx = jax.vmap(
-                    strided_inverse_neighbor_idx,
-                    in_axes=(0, 0, 0, 0, None, None))(
-                        coords, vmask, new_coords, new_mask, new_grid,
-                        pad)
+                if train:
+                    inv_idx = jax.vmap(
+                        strided_inverse_neighbor_idx,
+                        in_axes=(0, 0, 0, 0, None, None))(
+                            coords, vmask, new_coords, new_mask, new_grid,
+                            pad)
+                else:
+                    # the inverse rulebook only feeds the backward pass;
+                    # at eval skip its table build + 27-point lookups
+                    inv_idx = sidx
                 x = _SpConv(blocks[-1], name=f"stage{i+1}_down")(
                     x, sidx, bwd_idx=inv_idx, bwd_flip=False)
                 x = MaskedBatchNorm(name=f"stage{i+1}_down_bn")(

@@ -74,7 +74,18 @@ def _voxelize_single(points, mask, pc_range, voxel_size, grid_size,
     # are gathered. Segments are contiguous after the sort, so
     # sum(v) = csum[start(v+1) - 1] - csum[start(v) - 1].
     first_slot = jnp.where(newseg & (seg_id < V) & s_valid, seg_id, V)
-    csum = jnp.cumsum(jnp.where(keep[:, None], s_pts, 0.0), axis=0)
+    # Center each channel before the prefix sum: the running sum over
+    # ~300k all-positive values (KITTI x in [0, 70], raw intensities)
+    # reaches magnitudes where one fp32 ulp is ~0.25 in feature units,
+    # and each voxel sum is a difference of two such values. Subtracting
+    # the per-channel mean of the kept points keeps the prefix-sum
+    # magnitude near zero; it is added back after the division.
+    n_keep = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(keep[:, None], s_pts, 0.0),
+                     axis=0, dtype=jnp.float32) / n_keep
+    centered = jnp.where(keep[:, None],
+                         s_pts.astype(jnp.float32) - center[None, :], 0.0)
+    csum = jnp.cumsum(centered, axis=0)
     ccnt = jnp.cumsum(keep.astype(jnp.int32))
     # per-voxel start row; empty slots -> P so next_start of the last
     # active voxel is P (slots are dense, ascending with linear id)
@@ -90,8 +101,8 @@ def _voxelize_single(points, mask, pc_range, voxel_size, grid_size,
                                         csum[prev_row], 0.0)
     counts = ccnt[end_row] - jnp.where(has_prev, ccnt[prev_row], 0)
     counts = jnp.where(start_v < P, counts, 0)
-    feats = (seg_sum / jnp.maximum(counts[:, None], 1)
-             ).astype(points.dtype)
+    feats = seg_sum / jnp.maximum(counts[:, None], 1) + center[None, :]
+    feats = jnp.where(counts[:, None] > 0, feats, 0.0).astype(points.dtype)
 
     # voxel coords: first point of each kept segment defines them
     lin_per_vox = jnp.zeros((V + 1,), jnp.int32).at[first_slot].set(s_lin)

@@ -14,9 +14,20 @@ The reference's only parallelism is PyTorch-DDP data parallelism over NCCL
 Model code calls :func:`constrain` on big intermediates; it is a no-op
 unless a mesh has been activated via :func:`set_active_mesh`, so
 single-chip runs compile unchanged.
+
+Multi-host: :func:`init_distributed` wraps ``jax.distributed.initialize``
+(the reference's ``init_dist('pytorch', backend='nccl')``,
+extra_tools/train.py:157 + dist_train.sh:8); after it, ``jax.devices()``
+spans every process and the same mesh/jit code runs unchanged — batches
+are assembled from per-process local shards with :func:`global_batch`,
+and host-side results are gathered with :func:`gather_objects`
+(the reference's ``multi_gpu_test --gpu_collect`` / mmcv
+``collect_results_cpu``, extra_tools/test.py:221-222).
 """
 from __future__ import annotations
 
+import os
+import pickle
 from typing import Optional, Sequence
 
 import numpy as np
@@ -72,7 +83,99 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh (multi-process
+    safe: every process holds the same host values, e.g. params
+    initialized from the same seed)."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (reference: torch.distributed.launch + NCCL, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """``jax.distributed.initialize`` wrapper. Must run before any other
+    JAX call touches a backend. After it, ``jax.devices()`` is the global
+    device list and one GSPMD mesh spans the pod slice; collectives ride
+    ICI within a slice and DCN across (XLA picks the transport)."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def local_slice(n: int) -> slice:
+    """This process's contiguous slice of a length-``n`` global batch
+    axis (``global_batch`` concatenates per-process shards in
+    process-index order)."""
+    per = n // jax.process_count()
+    assert per * jax.process_count() == n, \
+        f"global batch {n} must divide process count {jax.process_count()}"
+    return slice(jax.process_index() * per,
+                 (jax.process_index() + 1) * per)
+
+
+def global_batch(batch, mesh: Mesh):
+    """Assemble globally-sharded device arrays from per-process LOCAL
+    batches (leading axis over ``data``). Single-process: plain
+    shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+
+    def put(x):
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def to_host(tree):
+    """Local numpy copy of a (replicated) global-array pytree — for
+    checkpoint writes on the main process."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(get, tree)
+
+
+def barrier(name: str = "barrier") -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def gather_objects(obj, tmpdir: str, name: str = "gather"):
+    """All-gather arbitrary picklable host objects across processes via a
+    shared directory (mmcv ``collect_results_cpu`` semantics — the
+    reference's dist-eval gather, extra_tools/test.py:221-222). Returns
+    the list [obj_0, ..., obj_{P-1}] on process 0, None elsewhere."""
+    if jax.process_count() == 1:
+        return [obj]
+    os.makedirs(tmpdir, exist_ok=True)
+    pid = jax.process_index()
+    path = os.path.join(tmpdir, f"{name}_part_{pid}.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+    barrier(f"{name}_written")
+    if pid != 0:
+        barrier(f"{name}_read")
+        return None
+    out = []
+    for i in range(jax.process_count()):
+        p = os.path.join(tmpdir, f"{name}_part_{i}.pkl")
+        with open(p, "rb") as f:
+            out.append(pickle.load(f))
+        os.remove(p)
+    barrier(f"{name}_read")
+    return out

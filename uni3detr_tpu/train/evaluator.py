@@ -96,10 +96,75 @@ def run_inference(dataset, state, eval_fn, model_cfg, *,
             det = per_aug[bi][0] if len(per_aug[bi]) == 1 else \
                 merge_aug_detections(per_aug[bi], model_cfg.num_classes)
             dets.append(_postprocess_sample(det, model_cfg))
-            gts.append({"boxes": samples[bi]["gt_boxes"],
-                        "labels": samples[bi]["gt_labels"]})
+            gt = {"boxes": samples[bi]["gt_boxes"],
+                  "labels": samples[bi]["gt_labels"]}
+            meta = samples[bi].get("meta", {})
+            if "gt_attrs" in meta:
+                gt["attrs"] = meta["gt_attrs"]
+            gts.append(gt)
         if log and (start // batch_size) % 25 == 24:
             log(f"[{min(start + batch_size, n)}/{n}]")
+    return dets, gts
+
+
+class _DatasetShard:
+    """Index-remapped view of a dataset (one process's eval shard)."""
+
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.base[self.indices[i]]
+
+
+def run_inference_distributed(dataset, state, eval_fn, model_cfg, *,
+                              batch_size: int = 1,
+                              max_samples: Optional[int] = None,
+                              tta_grid: Optional[List[dict]] = None,
+                              box_type: str = "Depth", log=None,
+                              tmpdir: str = "/tmp/uni3detr_dist_eval"):
+    """Multi-process eval: each process runs its round-robin shard of the
+    val split on its local devices, results are gathered on process 0
+    (mmcv ``multi_gpu_test`` + ``collect_results_cpu``,
+    extra_tools/test.py:221-222). Returns (dets, gts) in dataset order on
+    process 0, ([], []) elsewhere. Single-process: plain run_inference."""
+    import jax
+
+    n = len(dataset) if max_samples is None else min(len(dataset),
+                                                     max_samples)
+    if jax.process_count() == 1:
+        return run_inference(dataset, state, eval_fn, model_cfg,
+                             batch_size=batch_size, max_samples=n,
+                             tta_grid=tta_grid, box_type=box_type, log=log)
+    from ..parallel.mesh import gather_objects, to_host
+
+    idxs = list(range(jax.process_index(), n, jax.process_count()))
+    shard = _DatasetShard(dataset, idxs)
+    # host-side replicated copies -> the jitted eval runs on local devices
+    # only (no cross-process collectives in the per-scene forward)
+    local_state = state.replace(params=to_host(state.params),
+                                batch_stats=to_host(state.batch_stats),
+                                constants=to_host(state.constants),
+                                opt_state={},
+                                step=to_host(state.step))
+    dets_l, gts_l = run_inference(shard, local_state, eval_fn, model_cfg,
+                                  batch_size=batch_size,
+                                  tta_grid=tta_grid, box_type=box_type,
+                                  log=log)
+    parts = gather_objects((idxs, dets_l, gts_l), tmpdir, name="eval")
+    if parts is None:
+        return [], []
+    dets = [None] * n
+    gts = [None] * n
+    for part_idxs, part_dets, part_gts in parts:
+        for i, d, g in zip(part_idxs, part_dets, part_gts):
+            dets[i] = d
+            gts[i] = g
+    assert all(d is not None for d in dets)
     return dets, gts
 
 

@@ -96,8 +96,9 @@ def iou_match_cost(decoded, bbox_preds, gt_boxes, norm_gt,
     - rotated_iou3d: +IoU x weight, decoded boxes (RotatedIoU3DCost:35-58
       returns the raw diff_iou_rotated_3d, center-z, without negation);
     - axis_aligned_iou3d: -IoU x weight (AxisAlignedIoU3DCost:61-70);
-    - rdiou: the RDIoU penalty on normalized codes (RDIoUCost:72-83 —
-      get_rdiou exps dims 3:6, i.e. expects the log-size code layout).
+    - rdiou: the RDIoU penalty on DECODED boxes (RDIoUCost:72-83; the
+      assigner call site hungarian_assigner_3d.py:120 passes bboxes3d /
+      gt_bboxes, i.e. decoded/raw boxes — same as the rdiou loss path).
     """
     t = cfg.iou_cost_type
     if t == "iou3d":
@@ -108,7 +109,7 @@ def iou_match_cost(decoded, bbox_preds, gt_boxes, norm_gt,
     if t == "axis_aligned_iou3d":
         return -axis_aligned_iou3d(decoded[:, :7], gt_boxes[:, :7])
     if t == "rdiou":
-        return rdiou_penalty(bbox_preds[:, None, :7], norm_gt[None, :, :7])
+        return rdiou_penalty(decoded[:, None, :7], gt_boxes[None, :, :7])
     raise ValueError(f"unknown iou_cost_type {t!r}")
 
 

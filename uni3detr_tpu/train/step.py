@@ -52,18 +52,25 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(lr_schedule, weight_decay=0.01, clip_norm=10.0,
-                   lr_mult_fn=None):
+                   lr_mult_fn=None, momentum_schedule=None):
     """AdamW + global-norm clip (reference optimizer_config,
     uni3detr_sunrgbd.py:234-235).
 
     ``lr_mult_fn(path_str) -> float`` supports per-module lr multipliers
     (OV configs' paramwise_cfg): implemented as a per-leaf scale applied
     after AdamW.
+
+    ``momentum_schedule``: step -> beta1, for the nuScenes cyclic
+    momentum policy (uni3detr_nuscenes.py ``momentum_config``, mmcv
+    CyclicMomentumUpdater over Adam beta1).
     """
-    tx = optax.chain(
-        optax.clip_by_global_norm(clip_norm),
-        optax.adamw(lr_schedule, weight_decay=weight_decay),
-    )
+    if momentum_schedule is not None:
+        adamw = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr_schedule, b1=momentum_schedule,
+            weight_decay=weight_decay)
+    else:
+        adamw = optax.adamw(lr_schedule, weight_decay=weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(clip_norm), adamw)
     if lr_mult_fn is not None:
         def per_leaf_scale(updates, state, params=None):
             del params
@@ -101,6 +108,26 @@ def cyclic_lr_schedule(base_lr, total_steps, target_ratio=(10, 1e-4),
         [optax.linear_schedule(base_lr, peak, up),
          optax.cosine_decay_schedule(peak, down, end / peak)],
         [up])
+
+
+def cyclic_momentum_schedule(base_m, total_steps,
+                             target_ratio=(0.85 / 0.95, 1.0),
+                             step_ratio_up=0.4):
+    """mmcv CyclicMomentumUpdater (uni3detr_nuscenes.py
+    ``momentum_config``): beta1 moves inversely to the lr cycle —
+    base -> base*r0 over the up phase, cosine back to base*r1 after."""
+    up = int(total_steps * step_ratio_up)
+    down = max(total_steps - up, 1)
+    m1 = base_m * target_ratio[0]
+    m2 = base_m * target_ratio[1]
+
+    def cos_rise(t):
+        # join_schedules passes the step count since the phase boundary
+        f = jnp.clip(t / down, 0.0, 1.0)
+        return m2 + (m1 - m2) * 0.5 * (1 + jnp.cos(jnp.pi * f))
+
+    return optax.join_schedules(
+        [optax.linear_schedule(base_m, m1, up), cos_rise], [up])
 
 
 def create_train_state(cfg: Uni3DETRConfig, rng, sample_batch, tx,
