@@ -218,3 +218,37 @@ def test_image_aug_alignment_golden():
     # every point visible in both paths must agree; cropping may mask a
     # point in neither path here by construction
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_head_clip_query_group_counts_per_mode():
+    """VERDICT r2 weak 6: group semantics per modality mode
+    (uni3detr_head_clip.py:443-477) — camera-only (fpsbpts=None) uses
+    ONLY the nq learnable queries at train and eval; point/multimodal
+    uses 3 groups at train and adds the random-point group at eval."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uni3detr_tpu.models.head_clip import Uni3DETRHeadCLIP
+
+    nq, C, L = 4, 32, 2
+    head = Uni3DETRHeadCLIP(
+        num_classes=5, num_query=nq, code_size=8, embed_dim=C,
+        num_decoder_layers=L, num_heads=4, ffn_dim=64, dropout=0.0,
+        clip_dim=16, pc_range=(-1, -1, -1, 1, 1, 1))
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.randn(1, 4, 5, 6, C).astype(np.float32))
+    fps = jnp.asarray(rng.rand(1, 2 * nq, 3).astype(np.float32))
+    rnd = jnp.asarray(rng.rand(1, nq, 3).astype(np.float32))
+
+    def q_count(fpsbpts, train, random_points=None):
+        variables = head.init(jax.random.PRNGKey(0), vol, fpsbpts,
+                              train=train, random_points=random_points)
+        outs = head.apply(variables, vol, fpsbpts, train=train,
+                          random_points=random_points,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        return outs["all_cls_scores"].shape[2]
+
+    assert q_count(None, True) == nq            # camera-only train
+    assert q_count(None, False) == nq           # camera-only eval: no
+    assert q_count(fps, True) == 3 * nq         # pc/mm train  # random grp
+    assert q_count(fps, False, rnd) == 4 * nq   # pc/mm eval

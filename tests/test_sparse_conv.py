@@ -303,3 +303,106 @@ def test_pallas_gather_conv_packed_interpret():
     ref_rows = padded[0][idx[0]].reshape(1, V, K * C)
     np.testing.assert_allclose(np.asarray(rows), np.asarray(ref_rows),
                                rtol=1e-6, atol=1e-6)
+
+
+def _idmatch_fixture(rng, n=150, V=160, C=8, Cout=16):
+    import jax
+    from uni3detr_tpu.ops.sparse_conv import (linear_ids, subm_query_ids)
+    coords, mask = _random_sites(rng, n, V)
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    ids = linear_ids(cj, mj, GRID)[None]
+    qids = subm_query_ids(cj, mj, GRID)[None]
+    nb = subm_neighbor_idx(cj, mj, GRID)[None]
+    feats = jnp.asarray(rng.randn(1, V, C).astype(np.float32)
+                        * mask[None, :, None])
+    Wt = jnp.asarray(rng.randn(27, C, Cout).astype(np.float32) * 0.1)
+    return ids, qids, nb, feats, Wt, cj, mj
+
+
+def test_idmatch_conv_interpret_matches_positions():
+    """Rulebook-free id-matching kernel == the positional XLA gather
+    formulation (forward, submanifold)."""
+    from uni3detr_tpu.ops.sparse_conv_pallas import (_raw_idmatch,
+                                                     _xla_gather_conv)
+    rng = np.random.RandomState(11)
+    ids, qids, nb, feats, Wt, _, _ = _idmatch_fixture(rng)
+    ref = _xla_gather_conv(feats, nb, Wt)
+    out = _raw_idmatch(feats, ids, qids, Wt, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_idmatch_conv_backward_subm():
+    """gather_conv_ids autodiff == XLA positional autodiff (subm:
+    symmetric relation, flipped weights)."""
+    import jax
+    import uni3detr_tpu.ops.sparse_conv_pallas as mod
+    from unittest import mock
+
+    rng = np.random.RandomState(12)
+    ids, qids, nb, feats, Wt, _, _ = _idmatch_fixture(rng)
+    orig_raw, orig_rows = mod._raw_idmatch, mod._rows_idmatch
+    with mock.patch.object(
+            mod, "_raw_idmatch",
+            lambda f, i, q, w, interpret=False: orig_raw(
+                f, i, q, w, interpret=True)), \
+         mock.patch.object(
+            mod, "_rows_idmatch",
+            lambda f, i, q, interpret=False: orig_rows(
+                f, i, q, interpret=True)):
+        g1 = jax.grad(lambda f, w: (mod.gather_conv_ids(
+            f, ids, qids, w, qids, ids, True) ** 2).sum(),
+            argnums=(0, 1))(feats, Wt)
+    g2 = jax.grad(lambda f, w: (mod._xla_gather_conv(f, nb, w) ** 2
+                                ).sum(), argnums=(0, 1))(feats, Wt)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_idmatch_conv_strided_fwd_bwd():
+    """Strided id-matching conv (+ inverse-query backward) == positional
+    XLA formulation on a real downsampled site set."""
+    import jax
+    import uni3detr_tpu.ops.sparse_conv_pallas as mod
+    from unittest import mock
+    from uni3detr_tpu.ops.sparse_conv import (
+        linear_ids, strided_query_ids, strided_inverse_query_ids)
+
+    rng = np.random.RandomState(13)
+    V = 64
+    coords, mask = _random_sites(rng, 40, V)
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    padding = (0, 1, 1)
+    oc, om, og = downsample_sites(cj, mj, GRID, padding, V)
+    sidx = strided_neighbor_idx(oc, om, cj, mj, GRID, padding)[None]
+    in_ids = linear_ids(cj, mj, GRID)[None]
+    out_ids = linear_ids(oc, om, og)[None]
+    sq = strided_query_ids(oc, om, GRID, padding)[None]
+    invq = strided_inverse_query_ids(cj, mj, og, padding)[None]
+    C, Cout = 4, 8
+    feats = jnp.asarray(rng.randn(1, V, C).astype(np.float32)
+                        * np.asarray(mask)[None, :, None])
+    Wt = jnp.asarray(rng.randn(27, C, Cout).astype(np.float32) * 0.1)
+    orig_raw, orig_rows = mod._raw_idmatch, mod._rows_idmatch
+    with mock.patch.object(
+            mod, "_raw_idmatch",
+            lambda f, i, q, w, interpret=False: orig_raw(
+                f, i, q, w, interpret=True)), \
+         mock.patch.object(
+            mod, "_rows_idmatch",
+            lambda f, i, q, interpret=False: orig_rows(
+                f, i, q, interpret=True)):
+        out = mod.gather_conv_ids(feats, in_ids, sq, Wt, invq, out_ids,
+                                  False)
+        g1 = jax.grad(lambda f, w: (mod.gather_conv_ids(
+            f, in_ids, sq, w, invq, out_ids, False) ** 2).sum(),
+            argnums=(0, 1))(feats, Wt)
+    ref = mod._xla_gather_conv(feats, sidx, Wt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    g2 = jax.grad(lambda f, w: (mod._xla_gather_conv(f, sidx, w) ** 2
+                                ).sum(), argnums=(0, 1))(feats, Wt)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -75,7 +75,9 @@ def indoor_eval(gt_list: List[dict], det_list: List[dict],
                     scores.append(sc[d])
                     if ov.shape[1]:
                         j = int(np.argmax(ov[d]))
-                        if ov[d, j] >= thr and not matched[j]:
+                        # strictly greater, like the reference
+                        # (indoor_eval.py:141 ``iou_max > thresh``)
+                        if ov[d, j] > thr and not matched[j]:
                             matched[j] = True
                             tp.append(1.0)
                             fp.append(0.0)

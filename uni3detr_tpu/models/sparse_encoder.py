@@ -22,23 +22,30 @@ from flax import linen as nn
 
 from ..ops.sparse_conv import (
     subm_neighbor_idx, gather_conv, downsample_sites, strided_neighbor_idx,
-    strided_inverse_neighbor_idx, build_position_table,
+    strided_inverse_neighbor_idx, build_position_table, linear_ids,
+    subm_query_ids, strided_query_ids, strided_inverse_query_ids,
 )
 from ..ops.voxelize import scatter_to_dense
 from .layers import MaskedBatchNorm
 
 
 class _SpConv(nn.Module):
-    """One sparse conv. Two executions of the same (K, Cin, Cout) kernel:
+    """One sparse conv. Three executions of the same (K, Cin, Cout)
+    kernel:
 
-    - gather-GEMM over the active-voxel list (``neighbor_idx`` given);
-    - masked dense conv over the scattered volume (``neighbor_idx`` None)
-      — numerically identical at active sites because inactive cells hold
-      zero features (a missing neighbor contributes nothing either way),
-      but it runs on the MXU as a regular 3D convolution. Profiling on a
-      v5e showed XLA's row gather is descriptor-bound (~10 GB/s, ~7 ms per
-      conv at the SUN RGB-D budget) while the dense conv is
-      bandwidth-bound; at indoor occupancies dense wins ~8x. The param
+    - ID-MATCHING Pallas conv (``idpack`` given): neighbors found by
+      matching query linear ids against the sorted site-id list inside
+      the kernel's window walk — NO rulebook and NO position table exist
+      on this path (the table scatter + 27-per-site scalar lookups
+      measured ~53 ms/scene at SUN RGB-D eval budgets, more than the
+      rest of the encoder);
+    - gather-GEMM over the active-voxel list (``neighbor_idx`` given) —
+      positions precomputed via the dense table (CPU, and TPU stages too
+      big for the id kernel's VMEM budget, which use the lane-packed
+      positional kernel);
+    - masked dense conv over the scattered volume (both None) —
+      numerically identical at active sites because inactive cells hold
+      zero features; runs as a regular MXU 3D convolution. The param
       tree is shared, so checkpoints are interchangeable across impls.
     """
     out_channels: int
@@ -46,15 +53,23 @@ class _SpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, neighbor_idx=None, stride: int = 1,
-                 padding=(1, 1, 1), bwd_idx=None, bwd_flip: bool = True):
+                 padding=(1, 1, 1), bwd_idx=None, bwd_flip: bool = True,
+                 idpack=None):
         """``bwd_idx``/``bwd_flip``: transposed-conv rulebook for the
         Pallas backward — defaults to the (symmetric) submanifold rule;
-        strided callers pass the inverse rulebook with bwd_flip=False."""
+        strided callers pass the inverse rulebook with bwd_flip=False.
+        ``idpack``: (site_ids, qids, bwd_qids, bwd_ids) for the
+        id-matching path."""
         cin = x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels))
+        if idpack is not None:
+            from ..ops.sparse_conv_pallas import gather_conv_ids
+            site_ids, qids, bwd_qids, bwd_ids = idpack
+            return gather_conv_ids(x, site_ids, qids, w, bwd_qids,
+                                   bwd_ids, bwd_flip)
         if neighbor_idx is not None:
             from ..ops.sparse_conv_pallas import (gather_conv_pallas,
                                                  pallas_fits)
@@ -84,9 +99,10 @@ class _SpConvBNReLU(nn.Module):
     kernel_volume: int = 27
 
     @nn.compact
-    def __call__(self, feats, neighbor_idx, mask, train: bool):
-        x = _SpConv(self.out_channels, self.kernel_volume)(feats,
-                                                           neighbor_idx)
+    def __call__(self, feats, neighbor_idx, mask, train: bool,
+                 idpack=None):
+        x = _SpConv(self.out_channels, self.kernel_volume)(
+            feats, neighbor_idx, idpack=idpack)
         x = MaskedBatchNorm()(x, mask, train)
         return nn.relu(x)
 
@@ -96,12 +112,13 @@ class _BasicBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, feats, neighbor_idx, mask, train: bool):
+    def __call__(self, feats, neighbor_idx, mask, train: bool,
+                 idpack=None):
         identity = feats
-        x = _SpConv(self.channels)(feats, neighbor_idx)
+        x = _SpConv(self.channels)(feats, neighbor_idx, idpack=idpack)
         x = MaskedBatchNorm()(x, mask, train)
         x = nn.relu(x)
-        x = _SpConv(self.channels)(x, neighbor_idx)
+        x = _SpConv(self.channels)(x, neighbor_idx, idpack=idpack)
         x = MaskedBatchNorm()(x, mask, train)
         return nn.relu(x + identity)
 
@@ -136,26 +153,46 @@ class SparseEncoderHD(nn.Module):
         """
         if self.impl == "dense":
             return self._dense_forward(feats, coords, vmask, train)
+        from ..ops.sparse_conv_pallas import idmatch_fits
         B, V, _ = feats.shape
         grid = tuple(self.sparse_shape)
         x = feats.astype(self.compute_dtype)
+        on_tpu = jax.default_backend() not in ("cpu",)
 
-        # one dense position table per site set, shared by every rulebook
-        # of the stage (subm + the closing strided conv)
-        table = jax.vmap(build_position_table, in_axes=(0, 0, None))(
-            coords, vmask, grid)
-        nb = jax.vmap(subm_neighbor_idx, in_axes=(0, 0, None, None, 0))(
-            coords, vmask, grid, 3, table)
-        x = _SpConvBNReLU(self.base_channels, name="conv_input")(
-            x, nb, vmask, train)
+        def site_ctx(c, m, g, budget):
+            """Per-site-set lookup context: the rulebook-free id path
+            when the id kernel fits VMEM (one context per stage, shared
+            by every conv of the stage), else the dense position table +
+            precomputed rulebooks."""
+            if on_tpu and idmatch_fits(budget):
+                ids = jax.vmap(linear_ids, in_axes=(0, 0, None))(c, m, g)
+                qids = jax.vmap(subm_query_ids,
+                                in_axes=(0, 0, None))(c, m, g)
+                return {"ids": ids, "qids": qids,
+                        "subm_pack": (ids, qids, qids, ids)}
+            table = jax.vmap(build_position_table,
+                             in_axes=(0, 0, None))(c, m, g)
+            nb = jax.vmap(subm_neighbor_idx,
+                          in_axes=(0, 0, None, None, 0))(c, m, g, 3,
+                                                         table)
+            return {"table": table, "nb": nb}
+
+        def subm(mod, x, ctx, m):
+            if "subm_pack" in ctx:
+                return mod(x, None, m, train, idpack=ctx["subm_pack"])
+            return mod(x, ctx["nb"], m, train)
+
+        ctx = site_ctx(coords, vmask, grid, V)
+        x = subm(_SpConvBNReLU(self.base_channels, name="conv_input"),
+                 x, ctx, vmask)
 
         n_stages = len(self.encoder_channels)
         for i, blocks in enumerate(self.encoder_channels):
             last_strided = i < n_stages - 1
             body = blocks[:-1] if last_strided else blocks
             for j, ch in enumerate(body):
-                x = _BasicBlock(ch, name=f"stage{i+1}_block{j}")(
-                    x, nb, vmask, train)
+                x = subm(_BasicBlock(ch, name=f"stage{i+1}_block{j}"),
+                         x, ctx, vmask)
             if last_strided:
                 pad = self.downsample_paddings[i]
                 budget = max(int(V * self.budget_shrink[i]), 256)
@@ -164,33 +201,48 @@ class SparseEncoderHD(nn.Module):
                                                   budget)[:2])(coords, vmask)
                 new_grid = tuple(
                     (g + 2 * p - 3) // 2 + 1 for g, p in zip(grid, pad))
-                sidx = jax.vmap(
-                    strided_neighbor_idx,
-                    in_axes=(0, 0, 0, 0, None, None, None, None, 0))(
-                        new_coords, new_mask, coords, vmask, grid, pad,
-                        2, 3, table)
-                if train:
-                    inv_idx = jax.vmap(
-                        strided_inverse_neighbor_idx,
-                        in_axes=(0, 0, 0, 0, None, None))(
-                            coords, vmask, new_coords, new_mask, new_grid,
-                            pad)
+                new_ctx = site_ctx(new_coords, new_mask, new_grid, budget)
+                conv = _SpConv(blocks[-1], name=f"stage{i+1}_down")
+                if "ids" in ctx and "ids" in new_ctx:
+                    sq = jax.vmap(strided_query_ids,
+                                  in_axes=(0, 0, None, None))(
+                        new_coords, new_mask, grid, pad)
+                    if train:
+                        invq = jax.vmap(strided_inverse_query_ids,
+                                        in_axes=(0, 0, None, None))(
+                            coords, vmask, new_grid, pad)
+                    else:
+                        invq = sq  # backward-only; dead at eval
+                    x = conv(x, None, bwd_flip=False,
+                             idpack=(ctx["ids"], sq, invq,
+                                     new_ctx["ids"]))
                 else:
-                    # the inverse rulebook only feeds the backward pass;
-                    # at eval skip its table build + 27-point lookups
-                    inv_idx = sidx
-                x = _SpConv(blocks[-1], name=f"stage{i+1}_down")(
-                    x, sidx, bwd_idx=inv_idx, bwd_flip=False)
+                    table = ctx.get("table")
+                    if table is None:
+                        table = jax.vmap(build_position_table,
+                                         in_axes=(0, 0, None))(
+                            coords, vmask, grid)
+                    sidx = jax.vmap(
+                        strided_neighbor_idx,
+                        in_axes=(0, 0, 0, 0, None, None, None, None, 0))(
+                            new_coords, new_mask, coords, vmask, grid,
+                            pad, 2, 3, table)
+                    if train:
+                        inv_idx = jax.vmap(
+                            strided_inverse_neighbor_idx,
+                            in_axes=(0, 0, 0, 0, None, None, None, None,
+                                     0))(
+                                coords, vmask, new_coords, new_mask,
+                                new_grid, pad, 2, 3,
+                                new_ctx.get("table"))
+                    else:
+                        inv_idx = sidx
+                    x = conv(x, sidx, bwd_idx=inv_idx, bwd_flip=False)
                 x = MaskedBatchNorm(name=f"stage{i+1}_down_bn")(
                     x, new_mask, train)
                 x = nn.relu(x)
                 coords, vmask, grid = new_coords, new_mask, new_grid
-                table = jax.vmap(
-                    build_position_table, in_axes=(0, 0, None))(
-                        coords, vmask, grid)
-                nb = jax.vmap(
-                    subm_neighbor_idx, in_axes=(0, 0, None, None, 0))(
-                        coords, vmask, grid, 3, table)
+                ctx = new_ctx
 
         # conv_out: 1x1x1 SparseConv == per-voxel dense layer
         x = nn.Dense(self.output_channels, use_bias=False,

@@ -90,6 +90,63 @@ def subm_neighbor_idx(coords, mask, grid, kernel: int = 3, table=None):
     return _table_lookup(table, nid, inb, V).reshape(V, -1)
 
 
+def subm_query_ids(coords, mask, grid, kernel: int = 3):
+    """(V, K) linear ids of each submanifold neighbor; -1 when out of
+    grid or the row is invalid.
+
+    Feeds the ID-MATCHING Pallas conv (sparse_conv_pallas.py): the
+    kernel finds neighbors by equality against the sorted site-id list
+    inside its existing window walk, so no position table and no
+    rulebook gather exist at all on this path — the scalar table
+    lookups alone measured ~53 ms/scene at SUN RGB-D budgets (more than
+    the whole rest of the encoder), and slab/row dynamic-slice gathers
+    measured even slower (XLA TPU lowers them pathologically).
+    Pure vectorized arithmetic, no gathers.
+    """
+    D, H, W = grid
+    offs = _kernel_offsets(kernel) - (kernel // 2)
+    nb = coords[:, None, :] + offs[None, :, :]
+    inb = ((nb[..., 0] >= 0) & (nb[..., 0] < D)
+           & (nb[..., 1] >= 0) & (nb[..., 1] < H)
+           & (nb[..., 2] >= 0) & (nb[..., 2] < W) & mask[:, None])
+    nid = (nb[..., 0] * H + nb[..., 1]) * W + nb[..., 2]
+    return jnp.where(inb, nid, -1).astype(jnp.int32)
+
+
+def strided_query_ids(out_coords, out_mask, in_grid, padding: Sequence[int],
+                      stride: int = 2, kernel: int = 3):
+    """(Vout, K) INPUT-space linear ids read by a strided conv; -1 when
+    out of grid / invalid row (see subm_query_ids)."""
+    D, H, W = in_grid
+    offs = _kernel_offsets(kernel)
+    pad = jnp.asarray(padding, jnp.int32)
+    src = (out_coords[:, None, :] * stride - pad[None, None, :]
+           + offs[None, :, :])
+    inb = ((src[..., 0] >= 0) & (src[..., 0] < D)
+           & (src[..., 1] >= 0) & (src[..., 1] < H)
+           & (src[..., 2] >= 0) & (src[..., 2] < W) & out_mask[:, None])
+    nid = (src[..., 0] * H + src[..., 1]) * W + src[..., 2]
+    return jnp.where(inb, nid, -1).astype(jnp.int32)
+
+
+def strided_inverse_query_ids(in_coords, in_mask, out_grid,
+                              padding: Sequence[int], stride: int = 2,
+                              kernel: int = 3):
+    """(V_in, K) OUTPUT-space linear ids of the outputs each input feeds
+    (the transposed-conv read set); -1 where off-lattice/out of grid.
+    Backward companion of strided_query_ids (see subm_query_ids)."""
+    Do, Ho, Wo = out_grid
+    offs = _kernel_offsets(kernel)
+    pad = jnp.asarray(padding, jnp.int32)
+    num = in_coords[:, None, :] + pad[None, None, :] - offs[None, :, :]
+    div = num // stride
+    ok = (jnp.all(num % stride == 0, -1) & jnp.all(num >= 0, -1)
+          & (div[..., 0] < Do) & (div[..., 1] < Ho) & (div[..., 2] < Wo)
+          & in_mask[:, None])
+    nid = (div[..., 0] * Ho + div[..., 1]) * Wo + div[..., 2]
+    return jnp.where(ok, nid, -1).astype(jnp.int32)
+
+
 def gather_conv(features, neighbor_idx, weights):
     """Sparse conv as gather + MXU matmul (per-sample XLA form).
 

@@ -444,6 +444,254 @@ def _unpacked_fits(V: int, budget_bytes: int = 12 * 2 ** 20) -> bool:
     return Vp * 256 <= budget_bytes
 
 
+# ---------------------------------------------------------------------------
+# ID-MATCHING kernels: no rulebook, no position table.
+#
+# The windowed walk above already computes an exact one-hot per pass; the
+# only thing the precomputed rulebook contributed was the positions the
+# one-hot compares against. Matching the QUERY LINEAR IDS (site id +
+# constant offset, pure arithmetic) against the sorted site-id list
+# inside the same walk deletes the whole rulebook pipeline — whose table
+# scatter + 27-per-site scalar gathers measured ~53 ms/scene at SUN
+# RGB-D eval budgets, more than the rest of the encoder combined.
+# Window starts are carried across tiles in SMEM (the TPU grid runs
+# sequentially and query columns are monotone over the sorted site
+# list), replacing the XLA-side min-reduction prefetch.
+# ---------------------------------------------------------------------------
+
+WIN_ID = 1024   # ids per pass = 8 sublane rows x 128 lanes
+ROWS_ID = WIN_ID // 128
+
+
+def idmatch_fits(V: int, budget_bytes: int = 12 * 2 ** 20) -> bool:
+    """Resident cost: feature table Vp*256 B (lane padding — independent
+    of C<=128) + id blocks Vp*4 B + per-tile scratch."""
+    Vp = max(-(-V // WIN_ID) * WIN_ID, WIN_ID)
+    return Vp * 256 + Vp * 4 + TILE * 27 * 4 <= budget_bytes
+
+
+def _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin, dtype):
+    """Walk id windows for one offset column; returns the gathered rows
+    g (T, Cin) f32. q (T, 1) int32 query ids (-1 invalid)."""
+    T = q.shape[0]
+    Vp = src_ref.shape[1]
+    n_win = Vp // WIN_ID
+    qmax = jnp.max(jnp.where(valid, q, -1))
+    start = jnp.minimum(carry_ref[k], n_win - 1)
+
+    def cond(s):
+        return jnp.logical_not(s[2])
+
+    def body(s):
+        win_i, _, _, g = s
+        rbase = pl.multiple_of(win_i * ROWS_ID, 8)
+        idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]       # (8, 128)
+        fbase = pl.multiple_of(win_i * WIN_ID, 16)
+        fwin = src_ref[0, pl.ds(fbase, WIN_ID), :]         # (WIN_ID, C)
+        for j in range(ROWS_ID):
+            row = idblk[j]                                  # (128,)
+            accept = valid & (q == row[None, :])            # (T, 128)
+            g = g + jax.lax.dot_general(
+                accept.astype(src_ref.dtype),
+                fwin[j * 128:(j + 1) * 128],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        done = (jnp.max(idblk) >= qmax) | (win_i + 1 >= n_win)
+        return win_i + 1, win_i, done, g
+
+    init = (start, start, jnp.logical_not(jnp.any(valid)),
+            jnp.zeros((T, Cin), jnp.float32))
+    _, last, _, g = jax.lax.while_loop(cond, body, init)
+    carry_ref[k] = last
+    return g
+
+
+def _kernel_idmatch(qids_ref, ids_ref, src_ref, w_ref, out_ref,
+                    carry_ref, *, K):
+    t = pl.program_id(1)
+    T = qids_ref.shape[1]
+    Cin = src_ref.shape[2]
+    Cout = out_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _reset():
+        for k in range(K):
+            carry_ref[k] = 0
+
+    acc = jnp.zeros((T, Cout), jnp.float32)
+    for k in range(K):
+        q = qids_ref[0, :, k:k + 1]
+        valid = q >= 0
+        g = _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin,
+                          src_ref.dtype)
+        acc = acc + jax.lax.dot_general(
+            g.astype(src_ref.dtype), w_ref[k],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _rows_kernel_idmatch(qids_ref, ids_ref, src_ref, out_ref, carry_ref,
+                         *, K):
+    t = pl.program_id(1)
+    Cin = src_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _reset():
+        for k in range(K):
+            carry_ref[k] = 0
+
+    for k in range(K):
+        q = qids_ref[0, :, k:k + 1]
+        valid = q >= 0
+        g = _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin,
+                          src_ref.dtype)
+        out_ref[0, :, k * Cin:(k + 1) * Cin] = g.astype(out_ref.dtype)
+
+
+def _pack_idmatch(features, site_ids, qids):
+    B, V, C = features.shape
+    _, Vout, K = qids.shape
+    Vp = max(-(-V // WIN_ID) * WIN_ID, WIN_ID)
+    feats = jnp.concatenate(
+        [features, jnp.zeros((B, Vp - V, C), features.dtype)], axis=1)
+    ids = jnp.concatenate(
+        [site_ids, jnp.full((B, Vp - V), jnp.iinfo(jnp.int32).max,
+                            jnp.int32)], axis=1)
+    ids_blk = ids.reshape(B, Vp // 128, 128)
+    n_tiles = -(-Vout // TILE)
+    qp = jnp.concatenate(
+        [qids, jnp.full((B, n_tiles * TILE - Vout, K), -1, jnp.int32)],
+        axis=1)
+    return feats, ids_blk, qp, n_tiles, Vp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _raw_idmatch(features, site_ids, qids, weights, interpret=False):
+    """features (B, V, C) sorted by linear id; site_ids (B, V) the ids
+    (INT_MAX on invalid rows); qids (B, Vout, K) query ids (-1 =
+    missing); weights (K, C, Cout). Returns (B, Vout, Cout)."""
+    B, V, C = features.shape
+    _, Vout, K = qids.shape
+    Cout = weights.shape[-1]
+    dtype = features.dtype
+    feats, ids_blk, qp, n_tiles, Vp = _pack_idmatch(features, site_ids,
+                                                    qids)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C, Cout), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, Cout), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_idmatch, K=K),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        interpret=interpret,
+    )(qp, ids_blk, feats, weights.astype(dtype))
+    return out[:, :Vout]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rows_idmatch(features, site_ids, qids, interpret=False):
+    """Gathered rows (B, Vout, K*C) via id matching (dW path)."""
+    B, V, C = features.shape
+    _, Vout, K = qids.shape
+    dtype = features.dtype
+    feats, ids_blk, qp, n_tiles, Vp = _pack_idmatch(features, site_ids,
+                                                    qids)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, K * C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_rows_kernel_idmatch, K=K),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * C), dtype),
+        interpret=interpret,
+    )(qp, ids_blk, feats)
+    return out[:, :Vout]
+
+
+def _xla_idmatch_reference(features, site_ids, qids, weights):
+    """XLA reference of the id-matching conv (goldens / CPU): converts
+    ids to positions by searchsorted over the sorted site ids."""
+    def one(f, ids, q):
+        V, C = f.shape
+        pos = jnp.searchsorted(ids, jnp.maximum(q, 0)).astype(jnp.int32)
+        pos = jnp.clip(pos, 0, V - 1)
+        hit = (q >= 0) & (ids[pos] == jnp.maximum(q, 0))
+        idx = jnp.where(hit, pos, V)
+        padded = jnp.concatenate([f, jnp.zeros((1, C), f.dtype)], 0)
+        gathered = padded[idx]
+        w = weights.reshape(-1, weights.shape[-1]).astype(f.dtype)
+        Vout, K = q.shape
+        return jax.lax.dot_general(
+            gathered.reshape(Vout, K * C), w,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(f.dtype)
+    return jax.vmap(one)(features, site_ids, qids)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gather_conv_ids(features, site_ids, qids, weights, bwd_qids, bwd_ids,
+                    bwd_flip: bool = True):
+    """Rulebook-free TPU sparse conv: neighbors found by matching query
+    ids against the sorted site-id list inside the Pallas window walk.
+
+    - submanifold: ``bwd_qids = qids``, ``bwd_ids = site_ids``,
+      ``bwd_flip=True`` (symmetric relation + kernel-flipped transposed
+      weights, same as the rulebook path);
+    - strided: ``bwd_qids = strided_inverse_query_ids`` (OUTPUT-space
+      ids per input), ``bwd_ids`` = the output site ids,
+      ``bwd_flip=False``.
+    """
+    return _raw_idmatch(features, site_ids, qids, weights)
+
+
+def _ids_fwd(features, site_ids, qids, weights, bwd_qids, bwd_ids,
+             bwd_flip):
+    out = _raw_idmatch(features, site_ids, qids, weights)
+    return out, (features, site_ids, qids, weights, bwd_qids, bwd_ids)
+
+
+def _ids_bwd(bwd_flip, res, g):
+    features, site_ids, qids, weights, bwd_qids, bwd_ids = res
+    K, C, Cout = weights.shape
+    rows = _rows_idmatch(features, site_ids, qids)      # (B, Vout, K*C)
+    dw = jnp.einsum("bvx,bvo->xo", rows.astype(jnp.float32),
+                    g.astype(jnp.float32)).reshape(K, C, Cout)
+    dw = dw.astype(weights.dtype)
+    wseq = weights[::-1] if bwd_flip else weights
+    wb = jnp.swapaxes(wseq, 1, 2)                       # (K, Cout, C)
+    df = _raw_idmatch(g.astype(features.dtype), bwd_ids, bwd_qids, wb)
+    return df.astype(features.dtype), None, None, dw, None, None
+
+
+gather_conv_ids.defvjp(_ids_fwd, _ids_bwd)
+
+
 def _gather_conv_pallas_raw(features, neighbor_idx, weights,
                             interpret: bool = False):
     """Dispatch: the unpacked kernel when the plain table fits VMEM
