@@ -406,3 +406,68 @@ def test_idmatch_conv_strided_fwd_bwd():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_idmatch_packed_interpret_matches_positions():
+    """Lane-packed id-matching kernel (big-V stages) == XLA positional
+    formulation, with channel padding (C=5 -> Cp=8, R=16) and
+    lane-group extraction from the matched position."""
+    from uni3detr_tpu.ops.sparse_conv_pallas import (
+        _raw_idmatch_packed, _rows_idmatch_packed, _xla_gather_conv)
+    rng = np.random.RandomState(21)
+    C, Cout = 5, 16
+    ids, qids, nb, feats, Wt, _, _ = _idmatch_fixture(
+        rng, n=150, V=160, C=C, Cout=Cout)
+    ref = _xla_gather_conv(feats, nb, Wt)
+    out = _raw_idmatch_packed(feats, ids, qids, Wt, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    rows = _rows_idmatch_packed(feats, ids, qids, interpret=True)
+    # positional gathered-rows reference
+    padded = jnp.concatenate(
+        [feats[0], jnp.zeros((1, C), feats.dtype)], 0)
+    rows_ref = padded[np.asarray(nb[0])].reshape(1, -1, 27 * C)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_match_positions_interpret():
+    """Pallas position matcher == the XLA position-table rulebook, for
+    submanifold and strided query sets (incl. misses -> n_sites)."""
+    from uni3detr_tpu.ops.sparse_conv import (
+        linear_ids, strided_query_ids, strided_neighbor_idx,
+        downsample_sites)
+    from uni3detr_tpu.ops.sparse_conv_pallas import match_positions
+    rng = np.random.RandomState(31)
+    ids, qids, nb, _, _, cj, mj = _idmatch_fixture(rng, n=150, V=160)
+    got = match_positions(ids, qids, 160, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(nb))
+    # strided rulebook on the downsampled site set
+    oc, om, og = downsample_sites(cj, mj, GRID, (1, 1, 1), 96)
+    sq = strided_query_ids(oc, om, GRID, (1, 1, 1))[None]
+    snb = strided_neighbor_idx(oc, om, cj, mj, GRID, (1, 1, 1))[None]
+    got_s = match_positions(ids, sq[0][None], 160, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(snb))
+
+
+def test_match_positions_dense_cluster():
+    """Dense-slab stress: every cell occupied, so a 1024-id window
+    spans only 1024 consecutive ids and each offset's matches crowd
+    into few windows; the per-offset SMEM window carry must stay
+    conservative across tile boundaries (W=1200 makes a -W-1 offset's
+    query ids lag the site ids by more than a window)."""
+    from uni3detr_tpu.ops.sparse_conv import (
+        linear_ids, subm_query_ids, subm_neighbor_idx)
+    from uni3detr_tpu.ops.sparse_conv_pallas import match_positions
+    g = (3, 3, 1200)  # 10800 cells, fully occupied (>10 windows)
+    D, H, W = g
+    lin = np.arange(D * H * W, dtype=np.int64)
+    coords = np.stack([lin // (H * W), (lin // W) % H, lin % W],
+                      -1).astype(np.int32)
+    mask = np.ones(len(lin), bool)
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    ids = linear_ids(cj, mj, g)[None]
+    qids = subm_query_ids(cj, mj, g)[None]
+    nb = subm_neighbor_idx(cj, mj, g)[None]
+    got = match_positions(ids, qids, len(lin), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(nb))

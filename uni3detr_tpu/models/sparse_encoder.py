@@ -153,23 +153,38 @@ class SparseEncoderHD(nn.Module):
         """
         if self.impl == "dense":
             return self._dense_forward(feats, coords, vmask, train)
-        from ..ops.sparse_conv_pallas import idmatch_fits
+        from ..ops.sparse_conv_pallas import (idmatch_fits,
+                                              match_positions)
         B, V, _ = feats.shape
         grid = tuple(self.sparse_shape)
         x = feats.astype(self.compute_dtype)
         on_tpu = jax.default_backend() not in ("cpu",)
 
         def site_ctx(c, m, g, budget):
-            """Per-site-set lookup context: the rulebook-free id path
-            when the id kernel fits VMEM (one context per stage, shared
-            by every conv of the stage), else the dense position table +
-            precomputed rulebooks."""
-            if on_tpu and idmatch_fits(budget):
+            """Per-site-set lookup context, measured dispatch
+            (tools/profile_idmatch_stage1.py, TPU v5e):
+            - TPU, id feature table fits VMEM (indoor budgets, V<=~45k):
+              rulebook-FREE id-matching convs (one shared id/qid build
+              per stage; id conv 5.2 ms/conv at V=40k beats matcher
+              7.6 + positional 2.6/conv for the typical 2-conv stage);
+            - TPU, above the VMEM budget (nuScenes 120k): the Pallas
+              position MATCHER builds a classic rulebook by matching
+              query linear ids against the sorted site-id list
+              (ids-only VMEM — fits at ANY stage size; 28.3 ms incl. id
+              build at V=120k vs 42.0 for the XLA position-table
+              pipeline), and every conv of the stage runs on the
+              positional packed kernel (11.1 ms/conv vs 26.9 for the
+              lane-packed id conv) — no dense position table anywhere;
+            - CPU: dense position table + XLA gather-GEMM."""
+            if on_tpu:
                 ids = jax.vmap(linear_ids, in_axes=(0, 0, None))(c, m, g)
                 qids = jax.vmap(subm_query_ids,
                                 in_axes=(0, 0, None))(c, m, g)
-                return {"ids": ids, "qids": qids,
-                        "subm_pack": (ids, qids, qids, ids)}
+                if idmatch_fits(budget):
+                    return {"ids": ids, "qids": qids,
+                            "subm_pack": (ids, qids, qids, ids)}
+                return {"ids": ids, "nb": match_positions(ids, qids,
+                                                          budget)}
             table = jax.vmap(build_position_table,
                              in_axes=(0, 0, None))(c, m, g)
             nb = jax.vmap(subm_neighbor_idx,
@@ -182,11 +197,10 @@ class SparseEncoderHD(nn.Module):
                 return mod(x, None, m, train, idpack=ctx["subm_pack"])
             return mod(x, ctx["nb"], m, train)
 
+        n_stages = len(self.encoder_channels)
         ctx = site_ctx(coords, vmask, grid, V)
         x = subm(_SpConvBNReLU(self.base_channels, name="conv_input"),
                  x, ctx, vmask)
-
-        n_stages = len(self.encoder_channels)
         for i, blocks in enumerate(self.encoder_channels):
             last_strided = i < n_stages - 1
             body = blocks[:-1] if last_strided else blocks
@@ -201,7 +215,8 @@ class SparseEncoderHD(nn.Module):
                                                   budget)[:2])(coords, vmask)
                 new_grid = tuple(
                     (g + 2 * p - 3) // 2 + 1 for g, p in zip(grid, pad))
-                new_ctx = site_ctx(new_coords, new_mask, new_grid, budget)
+                new_ctx = site_ctx(new_coords, new_mask, new_grid,
+                                   budget)
                 conv = _SpConv(blocks[-1], name=f"stage{i+1}_down")
                 if "ids" in ctx and "ids" in new_ctx:
                     sq = jax.vmap(strided_query_ids,
@@ -213,9 +228,26 @@ class SparseEncoderHD(nn.Module):
                             coords, vmask, new_grid, pad)
                     else:
                         invq = sq  # backward-only; dead at eval
-                    x = conv(x, None, bwd_flip=False,
-                             idpack=(ctx["ids"], sq, invq,
-                                     new_ctx["ids"]))
+                    if (idmatch_fits(x.shape[1])
+                            and idmatch_fits(budget)):
+                        # single conv on this rulebook: the id-matching
+                        # conv avoids both matcher calls (fwd + train
+                        # inverse) outright
+                        x = conv(x, None, bwd_flip=False,
+                                 idpack=(ctx["ids"], sq, invq,
+                                         new_ctx["ids"]))
+                    else:
+                        # matcher rulebooks + positional kernels (id
+                        # feature table above the VMEM budget)
+                        sidx = match_positions(ctx["ids"], sq,
+                                               x.shape[1])
+                        if train:
+                            inv_idx = match_positions(new_ctx["ids"],
+                                                      invq, budget)
+                        else:
+                            inv_idx = sidx
+                        x = conv(x, sidx, bwd_idx=inv_idx,
+                                 bwd_flip=False)
                 else:
                     table = ctx.get("table")
                     if table is None:

@@ -76,7 +76,19 @@ def _select_group(g_packed, lane_grp, R, Cp):
     return g
 
 
-def _walk(colp, valid_k, w0, src_ref, VpP, on_pass):
+def _win_rows(R: int) -> int:
+    """Window rows per walk pass for packing factor R.
+
+    A tile's T=TILE queries land on ~TILE/R consecutive packed rows
+    (packed row = position // R), so a WIN-row window at R=8 computed an
+    8x-too-wide one-hot matmul. Narrowing the window to the rows a tile
+    can actually touch (plus boundary slack, rounded to the 128-lane MXU
+    contraction) cut the positional packed conv 12.5 -> 4.5 ms at the
+    nuScenes stage-1 shape (V=120k, C=16)."""
+    return max(128, -(-(TILE // R + 64) // 128) * 128)
+
+
+def _walk(colp, valid_k, w0, src_ref, VpP, on_pass, win: int = WIN):
     """Shared window-walk scaffolding for one offset column.
 
     colp (T, 1) packed-row indices (-1 for invalid); w0 packed-row start
@@ -85,24 +97,24 @@ def _walk(colp, valid_k, w0, src_ref, VpP, on_pass):
     sublane granularity for dynamic VMEM slices; VpP % 16 == 0 keeps
     the clamp aligned)."""
     T = colp.shape[0]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, win), 1)
     covered0 = (jnp.maximum(w0, 0) // 16) * 16
 
     def cond(covered):
         return jnp.any(valid_k & (colp >= covered))
 
     def body(covered):
-        base = jnp.minimum(covered, VpP - WIN)
+        base = jnp.minimum(covered, VpP - win)
         base = pl.multiple_of(base, 16)
-        window = src_ref[0, pl.ds(base, WIN), :]   # (WIN, R*Cp)
-        accept = valid_k & (colp >= covered) & (colp < base + WIN)
+        window = src_ref[0, pl.ds(base, win), :]   # (win, R*Cp)
+        accept = valid_k & (colp >= covered) & (colp < base + win)
         onehot = (accept & (colp - base == col_iota)).astype(
             src_ref.dtype)
         g_packed = jax.lax.dot_general(
             onehot, window, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         on_pass(g_packed)
-        return base + WIN
+        return base + win
 
     jax.lax.while_loop(cond, body, covered0)
 
@@ -127,7 +139,7 @@ def _kernel_packed(starts_ref, idx_ref, src_ref, w_ref, out_ref, g_ref, *,
             # exact: each accepted row sums exactly one bf16 value
             g_ref[:, k * Cp:(k + 1) * Cp] += g.astype(g_ref.dtype)
 
-        _walk(colp, valid, w0, src_ref, VpP, on_pass)
+        _walk(colp, valid, w0, src_ref, VpP, on_pass, _win_rows(R))
     # one fused (T, K*Cp) @ (K*Cp, Cout) MXU matmul per tile
     out_ref[0] = jax.lax.dot_general(
         g_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
@@ -142,8 +154,8 @@ def _pack_inputs(features, neighbor_idx):
     Cp = _cpad(C)
     R = 128 // Cp
     # dummy row at index V; pad so packed rows are a multiple of 16 and
-    # >= WIN
-    VpP = max(-(-(V + 1) // (16 * R)) * 16, WIN)
+    # >= the walk window
+    VpP = max(-(-(V + 1) // (16 * R)) * 16, _win_rows(R))
     Vp = VpP * R
     feats = jnp.concatenate(
         [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
@@ -225,7 +237,7 @@ def _gather_rows_kernel_packed(starts_ref, idx_ref, src_ref, out_ref, *, K,
             out_ref[0, :, k * Cp:(k + 1) * Cp] += g.astype(
                 out_ref.dtype)
 
-        _walk(colp, valid, w0, src_ref, VpP, on_pass)
+        _walk(colp, valid, w0, src_ref, VpP, on_pass, _win_rows(R))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -470,6 +482,18 @@ def idmatch_fits(V: int, budget_bytes: int = 12 * 2 ** 20) -> bool:
     return Vp * 256 + Vp * 4 + TILE * 27 * 4 <= budget_bytes
 
 
+def _accept_block(q, valid, idblk):
+    """(T, 1) query ids vs an (ROWS_ID, 128) id block -> (T, WIN_ID)
+    accept mask. Eight VPU compares concatenated along lanes — the
+    columns then line up with the window's WIN_ID feature rows, so one
+    wide (T, WIN_ID) matmul replaces ROWS_ID serially-accumulated small
+    ones (the 8-deep ``g = g + dot`` chain was the walk's critical
+    path)."""
+    return jnp.concatenate(
+        [valid & (q == idblk[j][None, :]) for j in range(ROWS_ID)],
+        axis=1)
+
+
 def _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin, dtype):
     """Walk id windows for one offset column; returns the gathered rows
     g (T, Cin) f32. q (T, 1) int32 query ids (-1 invalid)."""
@@ -488,14 +512,11 @@ def _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin, dtype):
         idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]       # (8, 128)
         fbase = pl.multiple_of(win_i * WIN_ID, 16)
         fwin = src_ref[0, pl.ds(fbase, WIN_ID), :]         # (WIN_ID, C)
-        for j in range(ROWS_ID):
-            row = idblk[j]                                  # (128,)
-            accept = valid & (q == row[None, :])            # (T, 128)
-            g = g + jax.lax.dot_general(
-                accept.astype(src_ref.dtype),
-                fwin[j * 128:(j + 1) * 128],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        accept = _accept_block(q, valid, idblk)            # (T, WIN_ID)
+        g = g + jax.lax.dot_general(
+            accept.astype(src_ref.dtype), fwin,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         done = (jnp.max(idblk) >= qmax) | (win_i + 1 >= n_win)
         return win_i + 1, win_i, done, g
 
@@ -546,6 +567,340 @@ def _rows_kernel_idmatch(qids_ref, ids_ref, src_ref, out_ref, carry_ref,
         g = _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin,
                           src_ref.dtype)
         out_ref[0, :, k * Cin:(k + 1) * Cin] = g.astype(out_ref.dtype)
+
+
+def idmatch_packed_fits(V: int, C: int,
+                        budget_bytes: int = 12 * 2 ** 20) -> bool:
+    """Lane-packed id kernel: features cost Vp*256/R bytes (R = 128/Cp
+    rows per VMEM row) + ids Vp*4 B."""
+    Cp = _cpad(C)
+    R = 128 // Cp
+    Vp = max(-(-V // (WIN_ID * R)) * WIN_ID * R, WIN_ID * R)
+    return Vp * 256 // R + Vp * 4 + TILE * 27 * 4 <= budget_bytes
+
+
+def _idmatch_walk_packed(q, valid, ids_ref, src_ref, carry_ref, k, R, Cp,
+                         dtype, condense, grp_iota):
+    """Packed-feature variant of the id walk: features are lane-packed
+    (R rows per 128-lane VMEM row); ids stay one-per-lane. The full
+    (T, WIN_ID) accept mask is condensed to a packed-row one-hot by one
+    constant block-sum matmul (``condense``, column c -> packed row
+    c // R) and the matched lane group (= matched column mod R, <=1
+    match per query over the whole walk) is accumulated as a masked
+    reduction of ``grp_iota``. Returns g (T, Cp) f32 — each query's own
+    channels."""
+    T = q.shape[0]
+    VpP = src_ref.shape[1]              # packed rows
+    n_win = (VpP * R) // WIN_ID
+    rows_per_win = WIN_ID // R          # packed rows per window
+    qmax = jnp.max(jnp.where(valid, q, -1))
+    start = jnp.minimum(carry_ref[k], n_win - 1)
+
+    def cond(s):
+        return jnp.logical_not(s[2])
+
+    def body(s):
+        win_i, _, _, g, grp_acc = s
+        rbase = pl.multiple_of(win_i * ROWS_ID, 8)
+        idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]      # (8, 128)
+        pbase = pl.multiple_of(win_i * rows_per_win, 16)
+        fwin = src_ref[0, pl.ds(pbase, rows_per_win), :]  # (.., R*Cp)
+        accept = _accept_block(q, valid, idblk)           # (T, WIN_ID)
+        onehot_p = jax.lax.dot_general(
+            accept.astype(dtype), condense, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+        g = g + jax.lax.dot_general(
+            onehot_p, fwin, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (T, R*Cp)
+        grp_acc = grp_acc + jnp.sum(
+            jnp.where(accept, grp_iota, 0), axis=1, keepdims=True)
+        done = (jnp.max(idblk) >= qmax) | (win_i + 1 >= n_win)
+        return win_i + 1, win_i, done, g, grp_acc
+
+    init = (start, start, jnp.logical_not(jnp.any(valid)),
+            jnp.zeros((T, R * Cp), jnp.float32),
+            jnp.zeros((T, 1), jnp.int32))
+    _, last, _, g, grp = jax.lax.while_loop(cond, body, init)
+    carry_ref[k] = last
+    # extract each query's own lane group
+    out = jnp.zeros((T, Cp), jnp.float32)
+    for r in range(R):
+        out = jnp.where(grp == r, g[:, r * Cp:(r + 1) * Cp], out)
+    return out
+
+
+def _packed_walk_consts(T, R, Cp, dtype):
+    """Loop-invariant constants for the packed id walk, built once per
+    kernel invocation: the (WIN_ID, WIN_ID/R) block-sum condenser and
+    the (T, WIN_ID) column-mod-R iota."""
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_ID, WIN_ID // R), 0)
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_ID, WIN_ID // R), 1)
+    condense = (lane // R == col).astype(dtype)
+    grp_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN_ID), 1) % R
+    return condense, grp_iota
+
+
+def _kernel_idmatch_packed(qids_ref, ids_ref, src_ref, w_ref, out_ref,
+                           carry_ref, *, K, R, Cp):
+    t = pl.program_id(1)
+    T = qids_ref.shape[1]
+    Cout = out_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _reset():
+        for k in range(K):
+            carry_ref[k] = 0
+
+    condense, grp_iota = _packed_walk_consts(T, R, Cp, src_ref.dtype)
+    acc = jnp.zeros((T, Cout), jnp.float32)
+    for k in range(K):
+        q = qids_ref[0, :, k:k + 1]
+        valid = q >= 0
+        g = _idmatch_walk_packed(q, valid, ids_ref, src_ref, carry_ref,
+                                 k, R, Cp, src_ref.dtype, condense,
+                                 grp_iota)
+        acc = acc + jax.lax.dot_general(
+            g.astype(src_ref.dtype), w_ref[k],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _rows_kernel_idmatch_packed(qids_ref, ids_ref, src_ref, out_ref,
+                                carry_ref, *, K, R, Cp):
+    t = pl.program_id(1)
+    T = qids_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _reset():
+        for k in range(K):
+            carry_ref[k] = 0
+
+    condense, grp_iota = _packed_walk_consts(T, R, Cp, src_ref.dtype)
+    for k in range(K):
+        q = qids_ref[0, :, k:k + 1]
+        valid = q >= 0
+        g = _idmatch_walk_packed(q, valid, ids_ref, src_ref, carry_ref,
+                                 k, R, Cp, src_ref.dtype, condense,
+                                 grp_iota)
+        out_ref[0, :, k * Cp:(k + 1) * Cp] = g.astype(out_ref.dtype)
+
+
+def _pack_idmatch_packed(features, site_ids, qids):
+    """Lane-pack features (R rows per VMEM row); ids one-per-lane."""
+    B, V, C = features.shape
+    _, Vout, K = qids.shape
+    dtype = features.dtype
+    Cp = _cpad(C)
+    R = 128 // Cp
+    Vp = max(-(-V // (WIN_ID * R)) * WIN_ID * R, WIN_ID * R)
+    feats = jnp.concatenate(
+        [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
+    if Cp > C:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((B, Vp, Cp - C), dtype)], axis=2)
+    packed = feats.reshape(B, Vp // R, R * Cp)
+    ids = jnp.concatenate(
+        [site_ids, jnp.full((B, Vp - V), jnp.iinfo(jnp.int32).max,
+                            jnp.int32)], axis=1)
+    ids_blk = ids.reshape(B, Vp // 128, 128)
+    n_tiles = -(-Vout // TILE)
+    qp = jnp.concatenate(
+        [qids, jnp.full((B, n_tiles * TILE - Vout, K), -1, jnp.int32)],
+        axis=1)
+    return packed, ids_blk, qp, n_tiles, Vp, Cp, R
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _raw_idmatch_packed(features, site_ids, qids, weights,
+                        interpret=False):
+    """Lane-packed id-matching conv for big-V stages (nuScenes 120k)."""
+    B, V, C = features.shape
+    _, Vout, K = qids.shape
+    Cout = weights.shape[-1]
+    dtype = features.dtype
+    packed, ids_blk, qp, n_tiles, Vp, Cp, R = _pack_idmatch_packed(
+        features, site_ids, qids)
+    w = weights
+    if Cp > C:
+        w = jnp.concatenate(
+            [w, jnp.zeros((K, Cp - C, Cout), w.dtype)], axis=1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp // R, R * Cp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Cp, Cout), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, Cout), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_idmatch_packed, K=K, R=R, Cp=Cp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        interpret=interpret,
+    )(qp, ids_blk, packed, w.astype(dtype))
+    return out[:, :Vout]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rows_idmatch_packed(features, site_ids, qids, interpret=False):
+    B, V, C = features.shape
+    _, Vout, K = qids.shape
+    dtype = features.dtype
+    packed, ids_blk, qp, n_tiles, Vp, Cp, R = _pack_idmatch_packed(
+        features, site_ids, qids)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp // R, R * Cp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, K * Cp),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_rows_kernel_idmatch_packed, K=K, R=R, Cp=Cp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * Cp),
+                                       dtype),
+        interpret=interpret,
+    )(qp, ids_blk, packed)
+    out = out[:, :Vout]
+    if Cp > C:
+        out = out.reshape(B, Vout, K, Cp)[..., :C].reshape(
+            B, Vout, K * C)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Position matcher: the id walk emitting matched POSITIONS (the rulebook).
+#
+# Matching query ids against the sorted site-id list needs no feature
+# table at all — resident VMEM is just the ids (Vp*4 B), so it fits at
+# ANY stage size — and each pass is 8 VPU compares + one masked iota
+# reduction (no MXU work). This replaces the XLA rulebook pipeline
+# (dense position-table scatter + 27 scalar gathers per site,
+# sparse_conv.py::build_position_table) which measured 40 ms at the
+# nuScenes stage-1 shape; the resulting rulebook feeds the positional
+# packed conv (2x faster per conv than the id-matching conv, so stages
+# with >=2 convs amortize the matcher).
+# ---------------------------------------------------------------------------
+
+
+def _idmatch_walk_pos(q, valid, ids_ref, carry_ref, k, v_dummy):
+    """Walk id windows for one offset column; returns (T, 1) matched
+    positions in the site list (v_dummy on miss)."""
+    T = q.shape[0]
+    n_rows = ids_ref.shape[1]
+    n_win = n_rows // ROWS_ID
+    qmax = jnp.max(jnp.where(valid, q, -1))
+    start = jnp.minimum(carry_ref[k], n_win - 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN_ID), 1)
+
+    def cond(s):
+        return jnp.logical_not(s[2])
+
+    def body(s):
+        win_i, _, _, pos = s
+        rbase = pl.multiple_of(win_i * ROWS_ID, 8)
+        idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]       # (8, 128)
+        accept = _accept_block(q, valid, idblk)            # (T, WIN_ID)
+        # miss-encoded-as-(-1) max accumulator: a single (T, 1) int32
+        # loop carry (a separate (T, 1) bool hit carry trips a Mosaic
+        # internal error in scf.yield padded layouts)
+        cand = jnp.max(
+            jnp.where(accept, win_i * WIN_ID + col_iota, -1), axis=1,
+            keepdims=True)
+        pos = jnp.maximum(pos, cand)
+        done = (jnp.max(idblk) >= qmax) | (win_i + 1 >= n_win)
+        return win_i + 1, win_i, done, pos
+
+    init = (start, start, jnp.logical_not(jnp.any(valid)),
+            jnp.full((T, 1), -1, jnp.int32))
+    _, last, _, pos = jax.lax.while_loop(cond, body, init)
+    carry_ref[k] = last
+    return jnp.where(pos >= 0, pos, v_dummy)
+
+
+def _match_kernel(qids_ref, ids_ref, out_ref, carry_ref, *, K, v_dummy):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _reset():
+        for k in range(K):
+            carry_ref[k] = 0
+
+    cols = []
+    for k in range(K):
+        q = qids_ref[0, :, k:k + 1]
+        valid = q >= 0
+        cols.append(_idmatch_walk_pos(q, valid, ids_ref, carry_ref, k,
+                                      v_dummy))
+    out_ref[0] = jnp.concatenate(cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_sites", "interpret"))
+def match_positions(site_ids, qids, n_sites: int, interpret=False):
+    """site_ids (B, V) sorted linear ids (INT_MAX = invalid row); qids
+    (B, Vout, K) query linear ids (-1 = missing) -> (B, Vout, K) row
+    positions into the site list, ``n_sites`` on miss — a drop-in
+    rulebook for ``gather_conv_pallas`` / ``gather_conv``
+    (sparse_conv.py::subm_neighbor_idx semantics).
+
+    One window walk per offset. A z-plane-grouped variant (one shared
+    walk per 9 offsets, SMEM min-id backoff for dense regions) measured
+    SLOWER (31.3 vs 26.7 ms at V=120k, 11.5 vs 10.2 at 40k): the
+    matcher is VPU-compare-bound, so grouping only moves the same
+    element work around."""
+    B, V = site_ids.shape
+    _, Vout, K = qids.shape
+    Vp = max(-(-V // WIN_ID) * WIN_ID, WIN_ID)
+    ids = jnp.concatenate(
+        [site_ids, jnp.full((B, Vp - V), jnp.iinfo(jnp.int32).max,
+                            jnp.int32)], axis=1)
+    ids_blk = ids.reshape(B, Vp // 128, 128)
+    n_tiles = -(-Vout // TILE)
+    qp = jnp.concatenate(
+        [qids, jnp.full((B, n_tiles * TILE - Vout, K), -1, jnp.int32)],
+        axis=1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_match_kernel, K=K, v_dummy=n_sites),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K),
+                                       jnp.int32),
+        interpret=interpret,
+    )(qp, ids_blk)
+    return out[:, :Vout]
 
 
 def _pack_idmatch(features, site_ids, qids):
@@ -654,6 +1009,24 @@ def _xla_idmatch_reference(features, site_ids, qids, weights):
     return jax.vmap(one)(features, site_ids, qids)
 
 
+def _idmatch_conv(features, site_ids, qids, weights, interpret=False):
+    """Dispatch: unpacked id kernel when the plain feature table fits
+    VMEM, else the lane-packed variant (R=128/Cp rows per VMEM row)."""
+    if idmatch_fits(features.shape[1]):
+        return _raw_idmatch(features, site_ids, qids, weights,
+                            interpret=interpret)
+    return _raw_idmatch_packed(features, site_ids, qids, weights,
+                               interpret=interpret)
+
+
+def _idmatch_rows(features, site_ids, qids, interpret=False):
+    if idmatch_fits(features.shape[1]):
+        return _rows_idmatch(features, site_ids, qids,
+                             interpret=interpret)
+    return _rows_idmatch_packed(features, site_ids, qids,
+                                interpret=interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def gather_conv_ids(features, site_ids, qids, weights, bwd_qids, bwd_ids,
                     bwd_flip: bool = True):
@@ -667,25 +1040,25 @@ def gather_conv_ids(features, site_ids, qids, weights, bwd_qids, bwd_ids,
       ids per input), ``bwd_ids`` = the output site ids,
       ``bwd_flip=False``.
     """
-    return _raw_idmatch(features, site_ids, qids, weights)
+    return _idmatch_conv(features, site_ids, qids, weights)
 
 
 def _ids_fwd(features, site_ids, qids, weights, bwd_qids, bwd_ids,
              bwd_flip):
-    out = _raw_idmatch(features, site_ids, qids, weights)
+    out = _idmatch_conv(features, site_ids, qids, weights)
     return out, (features, site_ids, qids, weights, bwd_qids, bwd_ids)
 
 
 def _ids_bwd(bwd_flip, res, g):
     features, site_ids, qids, weights, bwd_qids, bwd_ids = res
     K, C, Cout = weights.shape
-    rows = _rows_idmatch(features, site_ids, qids)      # (B, Vout, K*C)
+    rows = _idmatch_rows(features, site_ids, qids)      # (B, Vout, K*C)
     dw = jnp.einsum("bvx,bvo->xo", rows.astype(jnp.float32),
                     g.astype(jnp.float32)).reshape(K, C, Cout)
     dw = dw.astype(weights.dtype)
     wseq = weights[::-1] if bwd_flip else weights
     wb = jnp.swapaxes(wseq, 1, 2)                       # (K, Cout, C)
-    df = _raw_idmatch(g.astype(features.dtype), bwd_ids, bwd_qids, wb)
+    df = _idmatch_conv(g.astype(features.dtype), bwd_ids, bwd_qids, wb)
     return df.astype(features.dtype), None, None, dw, None, None
 
 
