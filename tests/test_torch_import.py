@@ -542,9 +542,10 @@ def run_full_parity(cfg, rng, atol):
         np.asarray(vmask[0]))
     # the gather path truncates to per-stage budgets; the oracle doesn't —
     # the cloud must stay under budget for the comparison to be exact
+    caps = cfg.encoder_budget_caps or (1 << 30,) * 3
     budgets = [cfg.max_voxels_test] + [
-        max(int(cfg.max_voxels_test * s), 256)
-        for s in (1.0, 0.5, 0.25)[:len(counts) - 1]]
+        max(min(int(cfg.max_voxels_test * s), c), 256)
+        for s, c in zip(cfg.encoder_budget_shrink[:len(counts) - 1], caps)]
     for c, b in zip(counts, budgets):
         assert c < b, f"oracle site count {c} exceeds budget {b}"
     with torch.no_grad():

@@ -37,6 +37,19 @@ class Uni3DETRConfig:
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     encoder_downsample_paddings: Tuple[Tuple[int, int, int], ...] = (
         (1, 1, 1), (1, 1, 1), (0, 1, 1))
+    # Static per-stage site budgets after each strided downsample:
+    # budget_i = min(ceil(V * shrink_i), caps_i) where V is the input
+    # voxel budget. The reference (spconv) materializes exact site
+    # sets; these paddings are sized from measured occupancy of
+    # surface-like scans (tools/measure_stage_occupancy.py) — too small
+    # silently truncates sites (ascending linear-id prefix), too large
+    # pays padded conv/matcher work. Fractions handle caps that scale
+    # with V (train 16k vs eval 40k input budgets see the same scene),
+    # absolute caps handle presets whose scene content is fixed while V
+    # varies (KITTI expands ~1.9x of its 16k train budget but only
+    # ~0.75x of its 40k eval budget).
+    encoder_budget_shrink: Tuple[float, float, float] = (1.0, 0.5, 0.25)
+    encoder_budget_caps: Optional[Tuple[int, int, int]] = None
     # backbone / neck
     backbone_channels: Tuple[int, ...] = (128, 256, 512)
     backbone_layers: Tuple[int, ...] = (5, 5, 5)

@@ -45,6 +45,8 @@ class OV_Uni3DETR(nn.Module):
             output_channels=cfg.encoder_out_channels,
             encoder_channels=cfg.encoder_channels,
             downsample_paddings=cfg.encoder_downsample_paddings,
+            budget_shrink=cfg.encoder_budget_shrink,
+            budget_caps=cfg.encoder_budget_caps,
             compute_dtype=dtype, impl=cfg.encoder_impl,
             name="pts_middle_encoder")(feats, coords, vmask, train)
         ms = SECOND3D(out_channels=cfg.backbone_channels,

@@ -135,9 +135,12 @@ class SparseEncoderHD(nn.Module):
     # are irrelevant to site sets)
     downsample_paddings: Sequence[Tuple[int, int, int]] = (
         (1, 1, 1), (1, 1, 1), (0, 1, 1))
-    # voxel budget after each of the three downsamples, as a fraction of
-    # the input budget
+    # voxel budget after each of the three downsamples:
+    # budget_i = min(ceil(V * budget_shrink[i]), budget_caps[i]);
+    # per-preset values come from measured surface-scan occupancy
+    # (tools/measure_stage_occupancy.py; Uni3DETRConfig docstring)
     budget_shrink: Sequence[float] = (1.0, 0.5, 0.25)
+    budget_caps: Sequence[int] | None = None
     compute_dtype: jnp.dtype = jnp.float32
     # 'gather': gather-GEMM over the voxel list (low-occupancy outdoor
     # grids); 'dense': masked dense convs over the scattered volume
@@ -209,7 +212,10 @@ class SparseEncoderHD(nn.Module):
                          x, ctx, vmask)
             if last_strided:
                 pad = self.downsample_paddings[i]
-                budget = max(int(V * self.budget_shrink[i]), 256)
+                budget = -(-int(V * self.budget_shrink[i]) // 8) * 8
+                if self.budget_caps is not None:
+                    budget = min(budget, self.budget_caps[i])
+                budget = max(budget, 256)
                 new_coords, new_mask = jax.vmap(
                     lambda c, m: downsample_sites(c, m, grid, pad,
                                                   budget)[:2])(coords, vmask)

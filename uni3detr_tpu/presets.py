@@ -23,6 +23,12 @@ SUNRGBD = Uni3DETRConfig(
     num_query=300, num_decoder_layers=3,
     post_center_range=(-3.2, -0.2, -2.0, 3.2, 6.2, 0.56),
     max_num=1000, coder_alpha=1.0, post_processing="nms", nms_thr=0.5,
+    # stage site budgets: bench-clustered worst occupancy is
+    # (0.297, 0.113, 0.042) of V and a fully dense room scan measures
+    # ~(0.67, 0.26, 0.09) (tools/measure_stage_occupancy.py 16 scenes);
+    # 0.7/0.3/0.12 covers both with margin vs the old (1.0, 0.5, 0.25)
+    # pure padding
+    encoder_budget_shrink=(0.7, 0.3, 0.12),
     compute_dtype="bfloat16",
 )
 
@@ -34,6 +40,8 @@ SCANNET = dataclasses.replace(
     grid_size=(128, 640, 640),
     max_num=5000,
     post_center_range=(-6.4, -6.4, -0.1, 6.4, 6.4, 2.46),
+    # dense-room worst case measured (0.673, 0.263, 0.091) of V
+    encoder_budget_shrink=(0.85, 0.4, 0.16),
 )
 
 # uni3detr_scannet_large.py diff: dynamic voxelization, base 32 / out 512
@@ -64,6 +72,14 @@ KITTI_CAR = Uni3DETRConfig(
     # (8.0 vs 13.4 ms/instance) — the near-ties the coarser eps decides
     # differently are between identical copies
     matcher_phases=3,
+    # KITTI's sampled 18k-point clouds are near-isolated voxels: the
+    # stride-2 site set EXPANDS ~1.9x of the 16k train voxel budget
+    # (the old 1.0*V budget silently truncated ~47% of stage-1 sites at
+    # train) while staying ~0.75x of the 40k eval budget — fractions
+    # cover train, absolute caps stop eval from paying 2x padding
+    # (measured worst (30148, 20359, 8468) sites over 16 scenes)
+    encoder_budget_shrink=(2.0, 1.4, 0.6),
+    encoder_budget_caps=(33600, 24000, 10400),
     compute_dtype="bfloat16",
 )
 
@@ -86,6 +102,9 @@ NUSCENES = Uni3DETRConfig(
     post_center_range=(-61.2, -61.2, -10.0, 61.2, 61.2, 10.0),
     max_num=900, coder_alpha=1.0, post_processing="nms", nms_thr=0.2,
     num_thr=500,
+    # measured clustered worst (0.817, 0.327, 0.114) of the 120k eval
+    # budget; 10-31% margin (tools/measure_stage_occupancy.py)
+    encoder_budget_shrink=(0.9, 0.4, 0.15),
     compute_dtype="bfloat16",
 )
 
@@ -99,6 +118,7 @@ _OV_COMMON = dict(
     post_center_range=(-3.2, -0.2, -2.0, 3.2, 6.2, 0.56),
     max_num=1000, coder_alpha=1.0, post_processing="nms", nms_thr=0.5,
     num_cams=1, img_size=(480, 640), depth_dim=64, clip_dim=1024,
+    encoder_budget_shrink=(0.7, 0.3, 0.12),  # same geometry as SUNRGBD
     compute_dtype="bfloat16",
 )
 
