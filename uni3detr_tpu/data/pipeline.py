@@ -231,28 +231,16 @@ class ObjectNoise:
         boxes = sample.get("gt_boxes")
         if boxes is None or not len(boxes):
             return sample
-        pts = sample["points"]
-        in_box = box_np_ops.points_in_rbbox(pts[:, :3], boxes[:, :7])
-        for i in range(len(boxes)):
-            for _ in range(self.num_try):
-                t = rng.standard_normal(3).astype(np.float32) * self.tstd
-                a = rng.uniform(*self.rot_range)
-                nb = boxes[i].copy()
-                nb[:3] += t
-                nb[6] += a
-                others = np.delete(boxes, i, axis=0)
-                if not box_np_ops.box_collision_test(
-                        nb[None, :7], others[:, :7]).any():
-                    m = in_box[:, i]
-                    ctr = boxes[i, :3].copy()
-                    ctr[2] += boxes[i, 5] / 2
-                    local = pts[m, :3] - ctr
-                    c, s = np.cos(a), np.sin(a)
-                    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
-                                   np.float32)
-                    pts[m, :3] = local @ rot.T + ctr + t
-                    boxes[i] = nb
-                    break
+        # draw all trials up front so the native and numpy rejection
+        # loops consume identical randomness (box_np_ops.object_noise_)
+        G, T = len(boxes), self.num_try
+        trans = rng.standard_normal((G, T, 3)).astype(np.float32) \
+            * self.tstd
+        rots = rng.uniform(self.rot_range[0], self.rot_range[1],
+                           (G, T)).astype(np.float32)
+        pts = np.ascontiguousarray(sample["points"], np.float32)
+        boxes = np.ascontiguousarray(boxes, np.float32)
+        box_np_ops.object_noise_(pts, boxes, trans, rots)
         sample["points"] = pts
         sample["gt_boxes"] = boxes
         return sample
@@ -658,8 +646,8 @@ class ObjectSample:
             nb = np.stack(new_boxes)
             # drop background points inside pasted boxes
             pts = sample["points"]
-            inside = box_np_ops.points_in_rbbox(pts[:, :3],
-                                                nb[:, :7]).any(-1)
+            inside = box_np_ops.points_in_any_rbbox(pts[:, :3],
+                                                    nb[:, :7])
             pts = pts[~inside]
             if boxes.shape[1] > 7:
                 pad = np.zeros((len(nb), boxes.shape[1] - 7), np.float32)
