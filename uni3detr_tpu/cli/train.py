@@ -59,28 +59,7 @@ def batch_iterator(dataset, batch_size, cfg_model, rng, pool,
         yield batch, metas
 
 
-def prefetch(iterator, depth: int = 2):
-    """Run an iterator in a background thread with a bounded queue so
-    host-side loading/collation overlaps device steps (the role of the
-    reference's DataLoader worker processes, SURVEY.md §3.1)."""
-    import queue
-    import threading
-    q = queue.Queue(maxsize=depth)
-    END = object()
-
-    def worker():
-        try:
-            for item in iterator:
-                q.put(item)
-        finally:
-            q.put(END)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is END:
-            return
-        yield item
+from ..data.loading import prefetch  # noqa: E402 (re-export; shared with eval)
 
 
 def main():

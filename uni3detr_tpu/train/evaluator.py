@@ -49,6 +49,7 @@ def run_inference(dataset, state, eval_fn, model_cfg, *,
     """
     import jax
     from ..data.datasets import collate_batch
+    from ..data.loading import prefetch
     from .tta import apply_aug_points, map_boxes_back, merge_aug_detections
 
     n = len(dataset) if max_samples is None else min(len(dataset),
@@ -58,32 +59,42 @@ def run_inference(dataset, state, eval_fn, model_cfg, *,
     gts: List[dict] = []
     augs = tta_grid or [None]
 
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
-        samples = [dataset[i] for i in idxs]
-        real = len(samples)
-        samples += [samples[-1]] * (batch_size - real)  # pad tail chunk
+    # Software-pipelined loop: sample loading + collation run in a
+    # prefetch thread, eval_fn dispatches asynchronously, and chunk k's
+    # device->host transfer + host post-processing (NMS merge, box
+    # merging) happen while chunk k+1 executes on device. The reference
+    # gets the same overlap from DataLoader workers + CUDA streams.
+    def produce():
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            samples = [dataset[i] for i in idxs]
+            real = len(samples)
+            samples += [samples[-1]] * (batch_size - real)  # pad tail
+            batches = []
+            for aug in augs:
+                cur = samples
+                if aug is not None:
+                    if "images" in samples[0]:
+                        raise ValueError("TTA supports lidar-only models")
+                    cur = []
+                    for s in samples:
+                        s2 = dict(s)
+                        s2["points"] = apply_aug_points(
+                            s["points"], aug, box_type=box_type)
+                        cur.append(s2)
+                batch, _ = collate_batch(cur, model_cfg.num_points,
+                                         model_cfg.max_gt,
+                                         model_cfg.in_point_features,
+                                         model_cfg.code_size)
+                batches.append((aug, batch))
+            yield start, real, samples, batches
+
+    def consume(chunk):
+        real, samples, results = chunk
         per_aug: List[List[dict]] = [[] for _ in range(real)]
-        for aug in augs:
-            cur = samples
-            if aug is not None:
-                if "images" in samples[0]:
-                    raise ValueError("TTA supports lidar-only models")
-                cur = []
-                for s in samples:
-                    s2 = dict(s)
-                    s2["points"] = apply_aug_points(s["points"], aug,
-                                                    box_type=box_type)
-                    cur.append(s2)
-            batch, _ = collate_batch(cur, model_cfg.num_points,
-                                     model_cfg.max_gt,
-                                     model_cfg.in_point_features,
-                                     model_cfg.code_size)
-            key, k = jax.random.split(key)
+        for aug, out in results:
             boxes, scores, labels, valid = jax.tree_util.tree_map(
-                np.asarray,
-                eval_fn(state.params, state.batch_stats, batch, k,
-                        constants=state.constants))
+                np.asarray, out)  # sync point for that aug's outputs
             for bi in range(real):
                 v = valid[bi]
                 det = {"boxes": boxes[bi][v], "scores": scores[bi][v],
@@ -102,8 +113,22 @@ def run_inference(dataset, state, eval_fn, model_cfg, *,
             if "gt_attrs" in meta:
                 gt["attrs"] = meta["gt_attrs"]
             gts.append(gt)
+
+    pending = None
+    for start, real, samples, batches in prefetch(produce(), depth=2):
+        results = []
+        for aug, batch in batches:
+            key, k = jax.random.split(key)
+            results.append((aug, eval_fn(state.params, state.batch_stats,
+                                         batch, k,
+                                         constants=state.constants)))
+        if pending is not None:
+            consume(pending)
+        pending = (real, samples, results)
         if log and (start // batch_size) % 25 == 24:
             log(f"[{min(start + batch_size, n)}/{n}]")
+    if pending is not None:
+        consume(pending)
     return dets, gts
 
 
