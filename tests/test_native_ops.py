@@ -151,3 +151,18 @@ def test_pipeline_object_noise_still_works(lib):
     assert np.isfinite(out["points"]).all()
     # sizes never change under ObjectNoise
     np.testing.assert_allclose(out["gt_boxes"][:, 3:6], boxes[:, 3:6])
+
+
+def test_native_threaded_consistency(lib):
+    """The loader thread-pool calls native ops concurrently; results must
+    match single-threaded output (the C calls share no mutable state)."""
+    from concurrent.futures import ThreadPoolExecutor
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-20, 20, (20000, 3)).astype(np.float32)
+    jobs = [_rand_boxes(np.random.default_rng(100 + i), 25)
+            for i in range(8)]
+    want = [native.points_in_rbbox(pts, b) for b in jobs]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        got = list(ex.map(lambda b: native.points_in_rbbox(pts, b), jobs))
+    for w, g in zip(want, got):
+        assert (w == g).all()
