@@ -29,7 +29,11 @@ class DeformConv2dV2(nn.Module):
         k = self.kernel_size
         s = self.strides
         # offset/mask conv initialized to zero => starts as a plain conv
-        om = nn.Conv(3 * k * k, (k, k), strides=(s, s), padding="SAME",
+        # explicit torch-style symmetric padding (mmcv conv_offset uses
+        # Conv2d(padding=(k-1)//2); flax "SAME" pads (0,1) at stride 2)
+        pad = (k - 1) // 2
+        om = nn.Conv(3 * k * k, (k, k), strides=(s, s),
+                     padding=[(pad, pad), (pad, pad)],
                      kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros, name="offset_conv")(x)
         Ho, Wo = om.shape[1], om.shape[2]

@@ -34,8 +34,12 @@ class _Bottleneck(nn.Module):
         if self.use_dcn:
             y = DeformConv2dV2(self.planes, 3, self.strides, name="conv2")(y)
         else:
+            # explicit (1,1) padding: torch Conv2d(padding=1, stride=2)
+            # pads symmetrically; flax "SAME" pads (0,1) at stride 2,
+            # shifting the tap grid by one pixel vs the reference
             y = nn.Conv(self.planes, (3, 3), strides=(self.strides,) * 2,
-                        padding="SAME", use_bias=False, name="conv2")(y)
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(y)
         y = bn("bn3")(y)
@@ -103,10 +107,17 @@ class ResNet(nn.Module):
 
 
 class FPN(nn.Module):
-    """mmdet FPN: lateral 1x1 + top-down upsample-add + 3x3 output convs,
-    extra levels by stride-2 convs on the last output."""
+    """mmdet FPN: lateral 1x1 + top-down upsample-add + 3x3 output convs.
+
+    Extra output levels follow mmdet's default ``add_extra_convs=False``
+    (the OV configs set nothing, ov_uni3detr_sunrgbd_mm.py:54-58): a
+    parameter-free stride-2 subsample of the last output (mmdet FPN uses
+    ``F.max_pool2d(outs[-1], 1, stride=2)`` — kernel 1, so it IS a
+    subsample). ``extra_convs=True`` keeps the previous stride-2 conv
+    behavior for configs that want it."""
     out_channels: int = 256
     num_outs: int = 5
+    extra_convs: bool = False
 
     @nn.compact
     def __call__(self, feats: Tuple):
@@ -121,7 +132,10 @@ class FPN(nn.Module):
                         name=f"fpn_conv{i}")(l)
                 for i, l in enumerate(laterals)]
         while len(outs) < self.num_outs:
-            outs.append(nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                                padding="SAME",
-                                name=f"fpn_extra{len(outs)}")(outs[-1]))
+            if self.extra_convs:
+                outs.append(nn.Conv(self.out_channels, (3, 3),
+                                    strides=(2, 2), padding="SAME",
+                                    name=f"fpn_extra{len(outs)}")(outs[-1]))
+            else:
+                outs.append(outs[-1][:, ::2, ::2, :])
         return tuple(outs)

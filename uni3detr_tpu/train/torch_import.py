@@ -2,7 +2,11 @@
 
 Maps the released Uni3DETR torch checkpoint layout into this package's
 flax param/batch_stats trees so published weights can be scored the day
-they are available. Reference key layout (all cites under
+they are available. ``import_torch_state_dict`` covers the lidar
+Uni3DETR family; ``import_torch_state_dict_ov`` covers OV_Uni3DETR
+(ResNet+DCN image backbone, FPN, input_proj/depth_net, Uni3DViewTrans,
+multimodal fusion conv, CLIP head incl. the frozen zs_weights buffer).
+Reference key layout (all cites under
 /root/reference/projects/mmdet3d_plugin/):
 
 - detector module names ``pts_middle_encoder / pts_backbone / pts_neck /
@@ -249,23 +253,13 @@ def _import_neck(sd: _SD, cfg: Uni3DETRConfig, prefix: str):
     return p, s
 
 
-def _import_head(sd: _SD, cfg: Uni3DETRConfig, prefix: str):
-    p = {}
-    p["tgt_embed"] = sd(f"{prefix}.tgt_embed.weight")
-    p["refpoint_embed"] = sd(f"{prefix}.refpoint_embed.weight")
+def _import_decoder(sd: _SD, cfg: Uni3DETRConfig, prefix: str):
+    """transformer.decoder.* -> flax 'decoder' subtree (shared by the
+    base head and the CLIP head; uni3detr_transformer.py:133-360)."""
+    dec = {"ref_point_head": _mlp3(sd, f"{prefix}.ref_point_head"),
+           "query_scale": _mlp3(sd, f"{prefix}.query_scale")}
     for l in range(cfg.num_decoder_layers):
-        p[f"cls_branch{l}"] = _branch(sd, f"{prefix}.cls_branches.{l}",
-                                      layer_norm=True)
-        p[f"reg_branch{l}"] = _branch(sd, f"{prefix}.reg_branches.{l}",
-                                      layer_norm=False)
-        p[f"iou_branch{l}"] = _branch(sd, f"{prefix}.iou_branches.{l}",
-                                      layer_norm=False)
-    dec = {"ref_point_head": _mlp3(
-               sd, f"{prefix}.transformer.decoder.ref_point_head"),
-           "query_scale": _mlp3(
-               sd, f"{prefix}.transformer.decoder.query_scale")}
-    for l in range(cfg.num_decoder_layers):
-        src = f"{prefix}.transformer.decoder.layers.{l}"
+        src = f"{prefix}.layers.{l}"
         lp = {}
         lp["self_attn"] = _mha(sd, f"{src}.attentions.0.attn",
                                cfg.num_heads)
@@ -286,8 +280,191 @@ def _import_head(sd: _SD, cfg: Uni3DETRConfig, prefix: str):
         for i in range(3):
             lp[f"LayerNorm_{i}"] = _layernorm(sd, f"{src}.norms.{i}")
         dec[f"layer{l}"] = lp
-    p["decoder"] = dec
+    return dec
+
+
+def _import_head(sd: _SD, cfg: Uni3DETRConfig, prefix: str):
+    p = {}
+    p["tgt_embed"] = sd(f"{prefix}.tgt_embed.weight")
+    p["refpoint_embed"] = sd(f"{prefix}.refpoint_embed.weight")
+    for l in range(cfg.num_decoder_layers):
+        p[f"cls_branch{l}"] = _branch(sd, f"{prefix}.cls_branches.{l}",
+                                      layer_norm=True)
+        p[f"reg_branch{l}"] = _branch(sd, f"{prefix}.reg_branches.{l}",
+                                      layer_norm=False)
+        p[f"iou_branch{l}"] = _branch(sd, f"{prefix}.iou_branches.{l}",
+                                      layer_norm=False)
+    p["decoder"] = _import_decoder(sd, cfg,
+                                   f"{prefix}.transformer.decoder")
     return p
+
+
+def _conv2d(sd: _SD, k: str):
+    """torch Conv2d weight (out,in,kh,kw) -> flax (kh,kw,in,out)."""
+    return sd(k + ".weight").transpose(2, 3, 1, 0)
+
+
+def _conv2d_mod(sd: _SD, k: str) -> Dict:
+    """Conv2d with bias (detector-level convs / mmdet ConvModule '.conv')."""
+    return {"kernel": _conv2d(sd, k), "bias": sd(k + ".bias")}
+
+
+def _import_resnet(sd: _SD, cfg, prefix: str):
+    """mmdet ResNet-50 (pytorch style) -> flax ResNet (models/resnet.py).
+
+    Key layout: conv1/bn1 stem, layer{1-4}.{j} bottlenecks with
+    conv{1,2,3}/bn{1,2,3} (+downsample.{0,1} at j=0); DCN stages store
+    conv2.weight (out,in,3,3) + conv2.conv_offset.{weight,bias}
+    (ov_uni3detr_sunrgbd_mm.py:42-53). mmcv's ModulatedDeformConv2dPack
+    chunks conv_offset output into (o1, o2, mask) and concatenates
+    (o1, o2) -> channels [0:2kk] pass through unchanged, so the offset
+    conv maps directly; the deform weight reshapes to our (kk, in, out)
+    gather-matmul layout (models/dcn.py)."""
+    p, s = {}, {}
+    p["stem_conv"] = {"kernel": _conv2d(sd, f"{prefix}.conv1")}
+    bp, bs = _bn(sd, f"{prefix}.bn1")
+    p["stem_bn"], s["stem_bn"] = bp, bs
+    for i, n in enumerate((3, 4, 6, 3)):
+        for j in range(n):
+            src = f"{prefix}.layer{i+1}.{j}"
+            name = f"layer{i+1}_{j}"
+            lp, ls = {}, {}
+            lp["conv1"] = {"kernel": _conv2d(sd, f"{src}.conv1")}
+            if cfg.stage_with_dcn[i]:
+                w = sd(f"{src}.conv2.weight")  # (out, in, kh, kw)
+                kk = w.shape[2] * w.shape[3]
+                lp["conv2"] = {
+                    "kernel": w.transpose(2, 3, 1, 0).reshape(
+                        kk, w.shape[1], w.shape[0]),
+                    "offset_conv": _conv2d_mod(sd, f"{src}.conv2.conv_offset"),
+                }
+            else:
+                lp["conv2"] = {"kernel": _conv2d(sd, f"{src}.conv2")}
+            lp["conv3"] = {"kernel": _conv2d(sd, f"{src}.conv3")}
+            for bi in (1, 2, 3):
+                bp, bs = _bn(sd, f"{src}.bn{bi}")
+                lp[f"bn{bi}"], ls[f"bn{bi}"] = bp, bs
+            if j == 0:
+                lp["ds_conv"] = {"kernel": _conv2d(sd,
+                                                   f"{src}.downsample.0")}
+                bp, bs = _bn(sd, f"{src}.downsample.1")
+                lp["ds_bn"], ls["ds_bn"] = bp, bs
+            p[name], s[name] = lp, ls
+    return p, s
+
+
+def _import_fpn(sd: _SD, prefix: str, n_in: int = 4):
+    """mmdet FPN (lateral_convs/fpn_convs ConvModules, no extra convs —
+    num_outs=5 extra level is a param-free subsample, see models/resnet.py
+    FPN docstring)."""
+    p = {}
+    for i in range(n_in):
+        p[f"lateral{i}"] = _conv2d_mod(sd, f"{prefix}.lateral_convs.{i}.conv")
+        p[f"fpn_conv{i}"] = _conv2d_mod(sd, f"{prefix}.fpn_convs.{i}.conv")
+    return p
+
+
+def _import_view_trans(sd: _SD, cfg, prefix: str):
+    """Uni3DViewTrans conv stack (uni3d_viewtrans.py:56-102):
+    conv_trans_head_{k}.0 Conv3d + .1 BN3d; optional trans_conv/time_conv
+    Sequential(Conv3d 1x1, BN3d, ReLU) for sweep_cat/with_time — ours are
+    Dense+ReLU, so eval-mode BN is FOLDED into the Dense at import."""
+    p, s = {}, {}
+    for k in range(cfg.num_view_convs):
+        src = f"{prefix}.conv_trans_head_{k+1}"
+        p[f"conv_trans{k+1}"] = {"kernel": _conv3d(sd, f"{src}.0"),
+                                 "bias": sd(f"{src}.0.bias")}
+        bp, bs = _bn(sd, f"{src}.1")
+        p[f"bn{k+1}"], s[f"bn{k+1}"] = bp, bs
+    for tname in ("trans_conv", "time_conv"):
+        if sd.has(f"{prefix}.{tname}.0.weight"):
+            w = sd(f"{prefix}.{tname}.0.weight")  # (out, in, 1, 1, 1)
+            w = w.reshape(w.shape[0], w.shape[1]).T  # Dense (in, out)
+            b = sd(f"{prefix}.{tname}.0.bias")
+            g = sd(f"{prefix}.{tname}.1.weight")
+            beta = sd(f"{prefix}.{tname}.1.bias")
+            mean = sd(f"{prefix}.{tname}.1.running_mean")
+            var = sd(f"{prefix}.{tname}.1.running_var")
+            a = g / np.sqrt(var + 1e-5)
+            p[tname] = {"kernel": w * a[None, :],
+                        "bias": (b - mean) * a + beta}
+    return p, s
+
+
+def _import_head_clip(sd: _SD, cfg, prefix: str):
+    """Uni3DETRHeadCLIP (uni3detr_head_clip.py:379-430): cls branches are
+    Linear(C,1024),LN,ReLU x num_reg_fcs with NO final Linear (the logits
+    come from the frozen zs_weights matmul); uncertainty branches are the
+    LN-form BranchMLP. zs_weights is registered transposed (clip_dim,
+    ncls) at ":360-364" -> stored (ncls, clip_dim) in 'constants'."""
+    p = {}
+    p["tgt_embed"] = sd(f"{prefix}.tgt_embed.weight")
+    p["refpoint_embed"] = sd(f"{prefix}.refpoint_embed.weight")
+    for l in range(cfg.num_decoder_layers):
+        src = f"{prefix}.cls_branches.{l}"
+        cb = {}
+        for i, s3 in enumerate(range(0, 3 * 2, 3)):  # seq idx 0,3
+            cb[f"Dense_{i}"] = _linear(sd, f"{src}.{s3}")
+            cb[f"LayerNorm_{i}"] = _layernorm(sd, f"{src}.{s3 + 1}")
+        p[f"cls_branch{l}"] = cb
+        p[f"uncertainty_branch{l}"] = _branch(
+            sd, f"{prefix}.uncertainty_branches.{l}", layer_norm=True)
+        p[f"reg_branch{l}"] = _branch(sd, f"{prefix}.reg_branches.{l}",
+                                      layer_norm=False)
+        p[f"iou_branch{l}"] = _branch(sd, f"{prefix}.iou_branches.{l}",
+                                      layer_norm=False)
+    p["decoder"] = _import_decoder(sd, cfg,
+                                   f"{prefix}.transformer.decoder")
+    constants = {"zs_weights": sd(f"{prefix}.zs_weights").T} \
+        if sd.has(f"{prefix}.zs_weights") else {}
+    return p, constants
+
+
+def import_torch_state_dict_ov(state_dict: Mapping, cfg,
+                               strict: bool = True):
+    """Map a reference OV_Uni3DETR torch state_dict into flax variables.
+
+    Returns ``{"params", "batch_stats", "constants"}`` matching
+    ``OV_Uni3DETR(cfg).init(...)``. Handles camera-only (no pts_* keys)
+    and lidar+camera (multimodal) checkpoints; the reference's dead
+    ``pts_conv``/``img_conv`` modules (defined at ov_uni3detr.py:86-103
+    but never called in forward, ":283-304") are consumed and dropped."""
+    sd = _SD(state_dict)
+    p, s, c = {}, {}, {}
+    if sd.has("pts_middle_encoder.conv_input.0.weight"):
+        p["pts_middle_encoder"], s["pts_middle_encoder"] = \
+            _import_sparse_encoder(sd, cfg, "pts_middle_encoder")
+        p["pts_backbone"], s["pts_backbone"] = \
+            _import_backbone(sd, cfg, "pts_backbone")
+        p["pts_neck"], s["pts_neck"] = _import_neck(sd, cfg, "pts_neck")
+    if sd.has("img_backbone.conv1.weight"):
+        p["img_backbone"], s["img_backbone"] = \
+            _import_resnet(sd, cfg, "img_backbone")
+        p["img_neck"] = _import_fpn(sd, "img_neck")
+        p["input_proj"] = _conv2d_mod(sd, "input_proj")
+        p["depth_net"] = _conv2d_mod(sd, "depth_net")
+        p["view_trans"], s["view_trans"] = \
+            _import_view_trans(sd, cfg, "view_trans")
+    if sd.has("conv_trans_head_1.0.weight"):
+        p["fusion_conv"] = {"kernel": _conv3d(sd, "conv_trans_head_1.0"),
+                            "bias": sd("conv_trans_head_1.0.bias")}
+        bp, bs = _bn(sd, "conv_trans_head_1.1")
+        p["fusion_bn"], s["fusion_bn"] = bp, bs
+    hp, c = _import_head_clip(sd, cfg, "pts_bbox_head")
+    p["pts_bbox_head"] = hp
+    # dead modules: consume so strict mode passes on real checkpoints
+    for k in list(sd.sd):
+        if k.startswith(("pts_conv.", "img_conv.")):
+            sd(k)
+    leftovers = sd.unused()
+    if strict and leftovers:
+        raise ValueError(
+            f"{len(leftovers)} checkpoint keys were not consumed, e.g. "
+            f"{leftovers[:8]}")
+    out = {"params": p, "batch_stats": s}
+    if c:
+        out["constants"] = {"pts_bbox_head": c}
+    return jtu_map(np.asarray, out)
 
 
 def import_torch_state_dict(state_dict: Mapping, cfg: Uni3DETRConfig,
