@@ -226,6 +226,11 @@ class ObjectNoise:
         self.num_try = num_try
         self.tstd = np.asarray(translation_std, np.float32)
         self.rot_range = rot_range
+        if tuple(global_rot_range) != (0.0, 0.0):
+            # every shipped reference config disables it
+            # (uni3detr_kitti_car.py ObjectNoise global_rot_range=[0,0])
+            raise NotImplementedError(
+                "ObjectNoise global_rot_range is not supported")
 
     def __call__(self, sample, rng):
         boxes = sample.get("gt_boxes")
