@@ -207,3 +207,24 @@ def test_cli_train_and_test_smoke(tmp_path, monkeypatch):
         "test", cfgp, os.path.join(wd, "latest"), "--eval", "bbox",
         "--max-samples", "2", "--batch-size", "2", "--tta"])
     test_cli.main()
+
+
+@pytest.mark.slow
+def test_cli_ov_train_and_test_smoke(tmp_path, monkeypatch):
+    """The OV multimodal family end-to-end through the CLIs: synthetic
+    lidar + procedural pinhole camera -> ResNet/FPN lift + fusion +
+    CLIP head -> checkpoint -> eval (configs/ov_uni3detr/
+    ov_uni3detr_synthetic_tiny.py)."""
+    from uni3detr_tpu.cli import train as train_cli
+    from uni3detr_tpu.cli import test as test_cli
+    cfgp = str(REPO / "configs/ov_uni3detr/ov_uni3detr_synthetic_tiny.py")
+    wd = str(tmp_path / "wd")
+    monkeypatch.setattr(sys, "argv", [
+        "train", cfgp, "--work-dir", wd, "--max-steps", "2",
+        "--cfg-options", "data.length=4"])
+    train_cli.main()
+    assert os.path.exists(os.path.join(wd, "latest"))
+    monkeypatch.setattr(sys, "argv", [
+        "test", cfgp, os.path.join(wd, "latest"), "--eval", "bbox",
+        "--max-samples", "2"])
+    test_cli.main()

@@ -213,12 +213,15 @@ class SyntheticDataset:
     """Procedural scenes for smoke training without data on disk."""
 
     def __init__(self, pipeline_cfg, class_names, pc_range, length=64,
-                 n_points=20000, seed=0, **kw):
+                 n_points=20000, seed=0, with_camera=False,
+                 img_size=(32, 32), **kw):
         self.length = length
         self.n_points = n_points
         self.class_names = list(class_names)
         self.pc_range = np.asarray(pc_range, np.float32)
         self.seed = seed
+        self.with_camera = with_camera
+        self.img_size = tuple(img_size)
         ctx = dict(pc_range=tuple(pc_range), class_names=self.class_names,
                    data_root="", box_type=kw.get("box_type", "Depth"))
         self.pipeline = build_pipeline(pipeline_cfg, ctx)
@@ -250,6 +253,18 @@ class SyntheticDataset:
             "uni_rot_aug": np.eye(3, dtype=np.float32),
             "meta": {"index": int(idx)},
         }
+        if self.with_camera:
+            # one pinhole camera behind -y looking +y (depth axis = y):
+            # enough geometry for the lift path; pixels are procedural
+            H, W = self.img_size
+            K = np.array([[0.6 * W, 0, W / 2, 0], [0, 0.6 * H, H / 2, 0],
+                          [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+            span = float(self.pc_range[4] - self.pc_range[1])
+            T = np.array([[1, 0, 0, 0], [0, 0, -1, 0],
+                          [0, 1, 0, span], [0, 0, 0, 1]], np.float32)
+            sample["images"] = rng.uniform(
+                0, 1, (1, H, W, 3)).astype(np.float32)
+            sample["lidar2img"] = (K @ T)[None]
         return self.pipeline(sample, rng)
 
 
@@ -303,7 +318,10 @@ def build_dataset(data_cfg: dict, class_names, pc_range, split="train"):
     if t == "synthetic":
         ds = SyntheticDataset(pipeline, class_names, pc_range,
                               length=data_cfg.get("length", 64),
-                              n_points=data_cfg.get("n_points", 20000))
+                              n_points=data_cfg.get("n_points", 20000),
+                              with_camera=data_cfg.get("with_camera",
+                                                       False),
+                              img_size=data_cfg.get("img_size", (32, 32)))
     else:
         ann = data_cfg["ann_train"] if split == "train" \
             else data_cfg["ann_val"]

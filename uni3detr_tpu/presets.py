@@ -153,9 +153,18 @@ TINY_SYNTHETIC = Uni3DETRConfig(
     post_center_range=(-2.0, -2.0, -1.0, 2.0, 2.0, 1.0),
 )
 
+OV_TINY_SYNTHETIC = OVUni3DETRConfig(
+    **{k: getattr(TINY_SYNTHETIC, k)
+       for k in TINY_SYNTHETIC.__dataclass_fields__},
+    num_cams=1, img_size=(32, 32), depth_dim=8, num_view_convs=1,
+    fpn_levels=2, stage_with_dcn=(False, False, True, True),
+    clip_dim=16, multimodal=True,
+)
+
 PRESETS = {
     "uni3detr_sunrgbd": SUNRGBD,
     "uni3detr_tiny_synthetic": TINY_SYNTHETIC,
+    "ov_uni3detr_tiny_synthetic": OV_TINY_SYNTHETIC,
     "ov_uni3detr_sunrgbd_pc": OV_SUNRGBD_PC,
     "ov_uni3detr_sunrgbd_rgb": OV_SUNRGBD_RGB,
     "ov_uni3detr_sunrgbd_mm": OV_SUNRGBD_MM,
