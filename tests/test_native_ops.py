@@ -166,3 +166,32 @@ def test_native_threaded_consistency(lib):
         got = list(ex.map(lambda b: native.points_in_rbbox(pts, b), jobs))
     for w, g in zip(want, got):
         assert (w == g).all()
+
+
+def test_native_heap_path_many_boxes(lib):
+    """>512 boxes exercises the heap-allocated per-box table in the C++
+    points_in_rbbox (kMaxStack boundary)."""
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(-50, 50, (1000, 3)).astype(np.float32)
+    boxes = _rand_boxes(rng, 600, span=50)
+    got = native.points_in_rbbox(pts, boxes)
+    want = _numpy_points_in_rbbox(pts, boxes)
+    assert (got == want).all()
+
+
+def test_object_noise_preserves_extra_box_dims(lib):
+    """9-dim (velocity) boxes: only center/yaw change, cols 7+ intact."""
+    rng = np.random.default_rng(10)
+    pts = np.ascontiguousarray(
+        rng.uniform(-5, 5, (100, 4)).astype(np.float32))
+    boxes = np.zeros((2, 9), np.float32)
+    boxes[:, :2] = [[0, 0], [5, 5]]
+    boxes[:, 3:6] = 1.0
+    boxes[:, 7:] = 7.0
+    trans = np.full((2, 3, 3), 0.1, np.float32)
+    rots = np.zeros((2, 3), np.float32)
+    acc = ops.object_noise_(pts, boxes, trans, rots)
+    assert (acc >= 0).all()
+    assert (boxes[:, 7:] == 7.0).all()
+    np.testing.assert_allclose(boxes[:, :2], [[0.1, 0.1], [5.1, 5.1]],
+                               atol=1e-6)
