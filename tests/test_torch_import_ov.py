@@ -357,3 +357,30 @@ def test_trans_conv_bn_folding():
                      t(sd["v.trans_conv.1.bias"]), False, 0.0, 1e-5)
     want = y[0, :, :, 0, 0].T.numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_import_tool_end_to_end(tmp_path, monkeypatch):
+    """tools/import_torch_ckpt.py converts a .pth (lidar tiny preset)
+    into an orbax checkpoint, with the structural verify enabled."""
+    import sys, os, runpy
+    rng = np.random.RandomState(6)
+    from uni3detr_tpu.presets import PRESETS
+    cfg = PRESETS["uni3detr_tiny_synthetic"]
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in make_state_dict(cfg, rng).items()}
+    ckpt = str(tmp_path / "ref.pth")
+    torch.save({"state_dict": sd, "meta": {"epoch": 12}}, ckpt)
+    out = str(tmp_path / "orbax")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setattr(sys, "argv", [
+        "import_torch_ckpt", ckpt, out,
+        "--preset", "uni3detr_tiny_synthetic"])
+    runpy.run_path(os.path.join(repo, "tools", "import_torch_ckpt.py"),
+                   run_name="__main__")
+    assert os.path.exists(out)
+    from uni3detr_tpu.train.checkpoint import load_checkpoint
+    restored, meta = load_checkpoint(out)
+    assert meta["preset"] == "uni3detr_tiny_synthetic"
+    n = sum(int(np.prod(v.shape)) for v in
+            jax.tree_util.tree_leaves(restored["params"]))
+    assert n > 1000
