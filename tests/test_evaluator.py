@@ -359,3 +359,36 @@ def test_kitti_lidar_alpha():
     boxes = np.array([[10.0, 0, -1, 4, 2, 1.5, 0.3]], np.float32)
     a = lidar_alpha(boxes, calib)
     assert a[0] == pytest.approx(-0.3 - np.pi / 2, abs=1e-5)
+
+
+def test_kitti_submission_writer(tmp_path):
+    """write_kitti_results emits official-format label lines: parseable
+    fields, h/w/l dim order, camera-frame bottom-center location, and
+    ry/alpha consistent with the evaluator's calib chain."""
+    from uni3detr_tpu.data.eval.kitti_submission import (
+        kitti_result_lines, write_kitti_results)
+    from uni3detr_tpu.data.eval.kitti_eval import lidar_alpha
+    calib = _identity_calib()
+    boxes = np.array([[10.0, 1.0, -1.0, 4.0, 1.6, 1.5, 0.3]], np.float32)
+    det = {"boxes": boxes, "labels": np.array([0]),
+           "scores": np.array([0.9], np.float32)}
+    lines = kitti_result_lines(det, calib, ["Car"])
+    assert len(lines) == 1
+    f = lines[0].split()
+    assert f[0] == "Car" and len(f) == 16
+    h, w, l = map(float, f[8:11])
+    assert (h, w, l) == pytest.approx((1.5, 1.6, 4.0), abs=1e-2)
+    x, y, z = map(float, f[11:14])
+    # lidar bottom-center (10, 1, -1) -> cam (-y, -z, x) = (-1, 1, 10)
+    assert (x, y, z) == pytest.approx((-1.0, 1.0, 10.0), abs=1e-2)
+    ry = float(f[14])
+    assert ry == pytest.approx(-0.3 - np.pi / 2, abs=1e-2)
+    assert float(f[3]) == pytest.approx(
+        float(lidar_alpha(boxes, calib)[0]), abs=1e-2)
+    assert float(f[15]) == pytest.approx(0.9, abs=1e-4)
+
+    infos = [{"image": {"image_idx": 7}, "calib": calib}]
+    n = write_kitti_results([det], infos, ["Car"], str(tmp_path / "out"))
+    assert n == 1
+    txt = (tmp_path / "out" / "000007.txt").read_text()
+    assert txt.startswith("Car ")

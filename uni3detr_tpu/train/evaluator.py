@@ -212,6 +212,12 @@ def evaluate(dets, gts, cfg, dataset, *, out_prefix: Optional[str] = None,
                     shape = info.get("image", {}).get("image_shape")
                     det["bbox"] = project_boxes_to_image(
                         det["boxes"], info["calib"], shape)
+            if out_prefix:
+                # official label-format txts (mmdet3d format_results role)
+                from ..data.eval.kitti_submission import write_kitti_results
+                d = out_prefix + "_kitti"
+                n = write_kitti_results(dets, infos[:len(dets)], classes, d)
+                log(f"wrote {n} KITTI result files under {d}")
         return kitti_eval(gts, dets, classes)
     if dtype_ == "nuscenes":
         from ..data.eval.nuscenes_eval import format_results
