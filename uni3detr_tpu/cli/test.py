@@ -19,6 +19,10 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--eval", default=None, help="e.g. bbox")
     p.add_argument("--out", default=None, help="dump detections pkl")
+    p.add_argument("--format-only", action="store_true",
+                   help="write submission files (KITTI txts / nuScenes "
+                        "json) without computing metrics (reference "
+                        "test.py --format-only)")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None,
                    help="eval batch size (default cfg samples_per_gpu)")
@@ -101,7 +105,11 @@ def main():
         with open(args.out, "wb") as f:
             pickle.dump(dets, f)
         print(f"wrote {args.out}")
-    if args.eval:
+    if args.format_only:
+        evaluate(dets, gts, cfg, dataset,
+                 out_prefix=args.out or "work_dirs/results",
+                 format_only=True)
+    elif args.eval:
         res = evaluate(dets, gts, cfg, dataset,
                        out_prefix=args.out or "work_dirs/results")
         print(json.dumps({k: float(v) for k, v in res.items()}, indent=2))

@@ -194,9 +194,13 @@ def run_inference_distributed(dataset, state, eval_fn, model_cfg, *,
 
 
 def evaluate(dets, gts, cfg, dataset, *, out_prefix: Optional[str] = None,
-             log=print) -> Dict[str, float]:
+             log=print, format_only: bool = False) -> Dict[str, float]:
     """Metric dispatch by dataset_type. Returns a flat {name: float} dict
-    (the EvalHook logs it; the test CLI pretty-prints it)."""
+    (the EvalHook logs it; the test CLI pretty-prints it).
+
+    ``format_only`` writes the submission artifacts (KITTI label txts /
+    nuScenes result json) and skips metric computation (the reference's
+    ``test.py --format-only``)."""
     classes = list(cfg.class_names)
     dtype_ = cfg.data["dataset_type"]
     if dtype_ == "kitti":
@@ -212,23 +216,32 @@ def evaluate(dets, gts, cfg, dataset, *, out_prefix: Optional[str] = None,
                     shape = info.get("image", {}).get("image_shape")
                     det["bbox"] = project_boxes_to_image(
                         det["boxes"], info["calib"], shape)
-            if out_prefix:
+            if out_prefix or format_only:
                 # official label-format txts (mmdet3d format_results role)
                 from ..data.eval.kitti_submission import write_kitti_results
-                d = out_prefix + "_kitti"
+                d = (out_prefix or "work_dirs/results") + "_kitti"
                 n = write_kitti_results(dets, infos[:len(dets)], classes, d)
                 log(f"wrote {n} KITTI result files under {d}")
+        if format_only:
+            return {}
         return kitti_eval(gts, dets, classes)
     if dtype_ == "nuscenes":
         from ..data.eval.nuscenes_eval import format_results
         from ..data.eval.nuscenes_metrics import nuscenes_detection_metrics
         infos = [dataset.infos[i] for i in range(len(dets))] \
             if hasattr(dataset, "infos") else []
-        if out_prefix and infos:
-            p = format_results(dets, infos, classes, out_prefix
+        if (out_prefix or format_only) and infos:
+            p = format_results(dets, infos, classes,
+                               (out_prefix or "work_dirs/results")
                                + "_nusc.json")
             log(f"wrote nuScenes submission {p}")
+        if format_only:
+            return {}
         return nuscenes_detection_metrics(dets, gts, classes)
+    if format_only:
+        log("no submission format for indoor datasets (the reference "
+            "evaluates SUN RGB-D/ScanNet directly); nothing written")
+        return {}
     from ..data.eval.indoor_eval import indoor_eval, format_table
     res = indoor_eval(gts, dets, classes,
                       seen_classes=cfg.get("seen_classes"))
