@@ -191,6 +191,28 @@ class ObjectRangeFilter:
         return sample
 
 
+@register("ObjectNameFilter")
+class ObjectNameFilter:
+    """Keep GT boxes whose class is in ``classes`` (mmdet3d
+    ObjectNameFilter; reference KITTI pipelines). Labels here are
+    already indices into the config's class_names — the loader maps
+    names at parse time — so this keeps the valid index range (a
+    ported reference config runs unchanged)."""
+
+    def __init__(self, ctx, classes=None):
+        self.n = len(classes) if classes is not None \
+            else len(ctx.get("class_names", ()))
+
+    def __call__(self, sample, rng):
+        labels = sample.get("gt_labels")
+        if labels is None or not len(labels):
+            return sample
+        m = (labels >= 0) & (labels < self.n)
+        sample["gt_boxes"] = sample["gt_boxes"][m]
+        sample["gt_labels"] = labels[m]
+        return sample
+
+
 @register("PointShuffle")
 class PointShuffle:
     def __init__(self, ctx):
