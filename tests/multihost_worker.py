@@ -28,9 +28,14 @@ def make_global_batch():
             "gt_labels": labels, "gt_mask": gmask}
 
 
-def run_steps(local_batch_fn, shard_fn):
+def run_steps(local_batch_fn, shard_fn, ckpt_dir=None):
     """Shared by the worker and the single-process reference: init state,
-    replicate, run N_STEPS on the (globally identical) batch."""
+    replicate, run N_STEPS on the (globally identical) batch.
+
+    ``ckpt_dir``: exercise the multi-process checkpoint path the train
+    CLI uses — EVERY process calls the orbax save (orbax coordinates its
+    own cross-process barriers; a main-only save deadlocks on
+    Checkpointer:save_start) — then restore and check the round trip."""
     import jax
     from tiny import TINY
     from uni3detr_tpu.parallel.mesh import (make_mesh, set_active_mesh,
@@ -53,6 +58,24 @@ def run_steps(local_batch_fn, shard_fn):
         state, logs = step_fn(state, gb, jax.random.PRNGKey(1))
         losses.append(float(logs["total_loss"]))
         gnorms.append(float(logs["grad_norm"]))
+    if ckpt_dir is not None:
+        import numpy as np
+        from uni3detr_tpu.parallel.mesh import is_main_process, barrier
+        from uni3detr_tpu.train.checkpoint import (save_checkpoint,
+                                                   load_checkpoint,
+                                                   restore_state)
+        save_checkpoint(ckpt_dir, state,
+                        {"step": int(state.step)} if is_main_process()
+                        else None)
+        if jax.process_count() > 1:
+            barrier("ckpt")
+        tree, _ = load_checkpoint(ckpt_dir, target_state=state)
+        restored = restore_state(state, tree)
+        assert int(restored.step) == int(state.step)
+        pre = jax.tree_util.tree_leaves(state.params)
+        post = jax.tree_util.tree_leaves(restored.params)
+        for a, b in zip(pre, post):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     set_active_mesh(None)
     return losses, gnorms
 
@@ -60,6 +83,7 @@ def run_steps(local_batch_fn, shard_fn):
 def main():
     pid, nproc, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
+    ckpt_dir = sys.argv[5] if len(sys.argv) > 5 else None
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -75,7 +99,8 @@ def main():
         sl = local_slice(GLOBAL_BS)
         return {k: v[sl] for k, v in full.items()}
 
-    losses, gnorms = run_steps(local_batch, global_batch)
+    losses, gnorms = run_steps(local_batch, global_batch,
+                               ckpt_dir=ckpt_dir)
     with open(outfile, "w") as f:
         json.dump({"process": pid, "losses": losses, "gnorms": gnorms}, f)
 

@@ -33,11 +33,14 @@ def test_two_process_loss_matches_single_process(tmp_path):
     procs, outs = [], []
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+    ckpt_dir = tmp_path / "mh_ckpt"  # shared: pins the all-process
+    # orbax save the train CLI uses (main-only save deadlocks)
     for pid in range(2):
         out = tmp_path / f"proc{pid}.json"
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), str(out)],
+            [sys.executable, WORKER, str(pid), "2", str(port), str(out),
+             str(ckpt_dir)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
     for p in procs:
         try:

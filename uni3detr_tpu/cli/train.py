@@ -84,7 +84,7 @@ def main():
     from ..data.datasets import build_dataset
     from ..parallel.mesh import (make_mesh, global_batch, replicate,
                                  set_active_mesh, is_main_process,
-                                 local_slice, to_host, barrier)
+                                 local_slice, barrier)
     from ..train.step import (create_train_state, make_train_step,
                               make_optimizer, step_lr_schedule,
                               cyclic_lr_schedule, cyclic_momentum_schedule)
@@ -223,15 +223,13 @@ def main():
                 "config": dict(cfg)}
 
     def save_ckpt(path, st, meta):
-        """Multi-process: the main process writes a host-side copy (every
-        leaf is replicated); others just synchronize."""
+        """Multi-process: EVERY process calls the orbax save — orbax
+        coordinates internally (the primary host writes the replicated
+        arrays, the rest join its sync barriers; a main-only save
+        deadlocks on Checkpointer:save_start). Only the main process
+        writes meta.json."""
         if jax.process_count() > 1:
-            host = st.replace(params=to_host(st.params),
-                              batch_stats=to_host(st.batch_stats),
-                              opt_state=to_host(st.opt_state),
-                              step=to_host(st.step))
-            if is_main_process():
-                save_checkpoint(path, host, meta)
+            save_checkpoint(path, st, meta if is_main_process() else None)
             barrier("ckpt")
         else:
             save_checkpoint(path, st, meta)
