@@ -57,7 +57,8 @@ def main():
     from ..train.step import create_train_state, make_eval_step, \
         make_optimizer
     from ..train.checkpoint import load_checkpoint, restore_state
-    from ..train.evaluator import run_inference, evaluate
+    from ..train.evaluator import run_inference_distributed, evaluate
+    from ..parallel.mesh import is_main_process
 
     cfg = load_config(args.config)
     cfg = merge_cfg_options(cfg, args.cfg_options)
@@ -95,11 +96,19 @@ def main():
         print(f"TTA over {len(tta_grid)} augmentations")
 
     eval_fn = make_eval_step(model_cfg)
-    dets, gts = run_inference(
+    # multi-process: per-process round-robin shards + rank-0 gather
+    # (reference multi_gpu_test --gpu_collect, extra_tools/test.py:221);
+    # single process falls through to the plain pipelined loop
+    dets, gts = run_inference_distributed(
         dataset, state, eval_fn, model_cfg,
         batch_size=args.batch_size or cfg.data.get("samples_per_gpu", 1),
         max_samples=args.max_samples, tta_grid=tta_grid,
-        box_type=cfg.data.get("box_type", "Depth"), log=print)
+        box_type=cfg.data.get("box_type", "Depth"), log=print,
+        tmpdir=os.path.join(os.path.dirname(args.out) or ".",
+                            ".dist_eval") if args.out
+        else "/tmp/uni3detr_dist_eval")
+    if not is_main_process():
+        return  # results were gathered on process 0 (mmcv rank-0 eval)
 
     if args.out:
         with open(args.out, "wb") as f:
