@@ -101,6 +101,18 @@ def main():
 
     losses, gnorms = run_steps(local_batch, global_batch,
                                ckpt_dir=ckpt_dir)
+
+    # dist-eval gather seam (run_inference_distributed's collector):
+    # every process contributes, rank 0 sees process-index order
+    from uni3detr_tpu.parallel.mesh import gather_objects
+    gdir = os.path.join(os.path.dirname(outfile), "gather_rt")
+    parts = gather_objects({"pid": pid, "n": pid * 10}, gdir)
+    if pid == 0:
+        assert [p["pid"] for p in parts] == list(range(nproc)), parts
+        assert parts[1]["n"] == 10
+    else:
+        assert parts is None
+
     with open(outfile, "w") as f:
         json.dump({"process": pid, "losses": losses, "gnorms": gnorms}, f)
 
