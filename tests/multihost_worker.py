@@ -103,15 +103,63 @@ def main():
                                ckpt_dir=ckpt_dir)
 
     # dist-eval gather seam (run_inference_distributed's collector):
-    # every process contributes, rank 0 sees process-index order
+    # every process contributes, rank 0 sees process-index order. Cover
+    # BOTH transports: the default device collective (no shared fs;
+    # per-rank payload sizes differ to exercise the padding) and the
+    # shared-directory protocol (UNI3DETR_GATHER=file).
     from uni3detr_tpu.parallel.mesh import gather_objects
     gdir = os.path.join(os.path.dirname(outfile), "gather_rt")
-    parts = gather_objects({"pid": pid, "n": pid * 10}, gdir)
+    for transport in ("device", "file"):
+        os.environ["UNI3DETR_GATHER"] = transport
+        parts = gather_objects({"pid": pid, "n": pid * 10,
+                                "pad": "x" * (100 * (pid + 1))}, gdir)
+        if pid == 0:
+            assert [p["pid"] for p in parts] == list(range(nproc)), parts
+            assert parts[1]["n"] == 10 and len(parts[1]["pad"]) == 200
+        else:
+            assert parts is None
+    del os.environ["UNI3DETR_GATHER"]
+
+    # Distributed eval end-to-end with the GLOBAL mesh ACTIVE (the train
+    # CLI's EvalHook state) and an ODD dataset size (5 over 2 procs ->
+    # unequal round-robin shards): the evaluator must deactivate the
+    # mesh around its process-local forward (constrain() would otherwise
+    # emit shardings over non-addressable devices) and the gather must
+    # not require a shared filesystem.
+    import dataclasses
+    import numpy as np
+    from tiny import TINY, synth_scene
+    from uni3detr_tpu.data.datasets import collate_batch
+    from uni3detr_tpu.parallel.mesh import (make_mesh, set_active_mesh,
+                                            replicate)
+    from uni3detr_tpu.train.step import (create_train_state,
+                                         make_eval_step, make_optimizer)
+    from uni3detr_tpu.train.evaluator import run_inference_distributed
+
+    cfg_ev = dataclasses.replace(TINY, num_points=512, max_gt=8)
+    rng = np.random.RandomState(7)
+    dataset = []
+    for _ in range(5):
+        p, b, l = synth_scene(rng)
+        dataset.append({"points": p, "gt_boxes": b, "gt_labels": l})
+    mesh = make_mesh()
+    set_active_mesh(mesh)
+    init_batch, _ = collate_batch(dataset[:1], cfg_ev.num_points,
+                                  cfg_ev.max_gt, cfg_ev.in_point_features,
+                                  cfg_ev.code_size)
+    st = create_train_state(cfg_ev, jax.random.PRNGKey(0), init_batch,
+                            make_optimizer(lambda _: 1e-3))
+    st = st.replace(params=replicate(st.params, mesh),
+                    batch_stats=replicate(st.batch_stats, mesh))
+    dets, gts = run_inference_distributed(dataset, st,
+                                          make_eval_step(cfg_ev), cfg_ev,
+                                          batch_size=1)
     if pid == 0:
-        assert [p["pid"] for p in parts] == list(range(nproc)), parts
-        assert parts[1]["n"] == 10
+        assert len(dets) == 5 and len(gts) == 5, (len(dets), len(gts))
+        assert all(d is not None and "boxes" in d for d in dets)
     else:
-        assert parts is None
+        assert dets == [] and gts == []
+    set_active_mesh(None)
 
     with open(outfile, "w") as f:
         json.dump({"process": pid, "losses": losses, "gnorms": gnorms}, f)

@@ -141,6 +141,20 @@ def test_range_filter_and_sample():
     assert np.all(np.abs(out["points"][:, :2]) <= 2)
 
 
+def test_object_name_filter_non_prefix_subset():
+    """ObjectNameFilter keeps classes by NAME membership — a kept subset
+    that is not a prefix of class_names must keep exactly those labels
+    (mmdet3d ObjectNameFilter semantics)."""
+    ctx = dict(_ctx(), class_names=["Car", "Pedestrian", "Cyclist"])
+    pipe = build_pipeline([dict(type="ObjectNameFilter",
+                                classes=["Pedestrian"])], ctx)
+    s = _sample(g=6)
+    s["gt_labels"] = np.array([0, 1, 2, 1, 0, 2], np.int32)
+    out = pipe(s, np.random.default_rng(0))
+    assert np.all(out["gt_labels"] == 1)
+    assert len(out["gt_boxes"]) == 2
+
+
 def test_collision_test_oracle():
     a = np.array([[0, 0, 0, 2, 2, 1, 0.0]], np.float32)
     b = np.array([[0.5, 0.5, 0, 2, 2, 1, 0.7],

@@ -361,6 +361,46 @@ def test_kitti_lidar_alpha():
     assert a[0] == pytest.approx(-0.3 - np.pi / 2, abs=1e-5)
 
 
+def test_evaluate_dispatch_wires_kitti_aos():
+    """End-to-end `evaluate()` on a KITTI dataset with infos+calib must
+    attach det 2D boxes AND alphas so the official AOS metric is actually
+    produced (previously det['alpha'] was never set -> AOS silently
+    dead)."""
+    from uni3detr_tpu.train.evaluator import evaluate
+    from uni3detr_tpu.data.eval.kitti_eval import lidar_alpha
+
+    calib = _identity_calib()
+    # 4m-tall box at 10m -> ~40px projected height, above the 25px
+    # moderate threshold (shorter boxes get filtered as undersized dets)
+    boxes = np.array([[10.0, 0, -1, 4, 2, 4.0, 0.3]], np.float32)
+    gt_bbox = project_boxes_to_image(boxes, calib, (100, 100))
+    info = {"annos": {"name": ["Car"],
+                      "gt_boxes_lidar": boxes,
+                      "bbox": gt_bbox,
+                      "occluded": np.array([0]),
+                      "truncated": np.array([0.0], np.float32),
+                      "alpha": lidar_alpha(boxes, calib)},
+            "calib": calib,
+            "image": {"image_shape": (100, 100)}}
+
+    class _DS:
+        infos = [info]
+
+    class _Cfg:
+        class_names = ["Car"]
+        data = {"dataset_type": "kitti"}
+
+        def get(self, k, d=None):
+            return d
+
+    dets = [{"boxes": boxes.copy(), "labels": np.array([0]),
+             "scores": np.array([0.9], np.float32)}]
+    res = evaluate(dets, [None], _Cfg(), _DS(), log=lambda *a: None)
+    assert res["Car_3d_moderate"] == pytest.approx(100.0)
+    assert res["Car_aos_moderate"] == pytest.approx(
+        res["Car_bbox_moderate"], abs=1e-6)
+
+
 def test_kitti_submission_writer(tmp_path):
     """write_kitti_results emits official-format label lines: parseable
     fields, h/w/l dim order, camera-frame bottom-center location, and

@@ -44,7 +44,7 @@ def test_two_process_loss_matches_single_process(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=900)
+            stdout, stderr = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -193,21 +193,26 @@ class ObjectRangeFilter:
 
 @register("ObjectNameFilter")
 class ObjectNameFilter:
-    """Keep GT boxes whose class is in ``classes`` (mmdet3d
+    """Keep GT boxes whose class name is in ``classes`` (mmdet3d
     ObjectNameFilter; reference KITTI pipelines). Labels here are
     already indices into the config's class_names — the loader maps
-    names at parse time — so this keeps the valid index range (a
-    ported reference config runs unchanged)."""
+    names at parse time — so ``classes`` is translated to the set of
+    matching label indices (membership by NAME, not index range: the
+    kept subset need not be a prefix of class_names)."""
 
     def __init__(self, ctx, classes=None):
-        self.n = len(classes) if classes is not None \
-            else len(ctx.get("class_names", ()))
+        names = tuple(ctx.get("class_names", ()))
+        if classes is None:
+            keep = set(range(len(names)))
+        else:
+            keep = {names.index(c) for c in classes if c in names}
+        self.keep = np.array(sorted(keep), np.int64)
 
     def __call__(self, sample, rng):
         labels = sample.get("gt_labels")
         if labels is None or not len(labels):
             return sample
-        m = (labels >= 0) & (labels < self.n)
+        m = np.isin(labels, self.keep)
         sample["gt_boxes"] = sample["gt_boxes"][m]
         sample["gt_labels"] = labels[m]
         return sample

@@ -121,7 +121,8 @@ def points_in_any_rbbox(points, boxes, z_origin="bottom"):
     out = np.zeros(len(pts), np.uint8)
     if len(pts) and len(bxs):
         lib.points_in_any_rbbox(pts, pts.shape[0], pts.shape[1],
-                                bxs, bxs.shape[0], bxs.shape[1], 0, out)
+                                bxs, bxs.shape[0], bxs.shape[1],
+                                0 if z_origin == "bottom" else 1, out)
     return out.astype(bool)
 
 

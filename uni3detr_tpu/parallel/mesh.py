@@ -155,13 +155,26 @@ def barrier(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
-def gather_objects(obj, tmpdir: str, name: str = "gather"):
-    """All-gather arbitrary picklable host objects across processes via a
-    shared directory (mmcv ``collect_results_cpu`` semantics — the
-    reference's dist-eval gather, extra_tools/test.py:221-222). Returns
-    the list [obj_0, ..., obj_{P-1}] on process 0, None elsewhere."""
+def gather_objects(obj, tmpdir: Optional[str] = None,
+                   name: str = "gather"):
+    """All-gather arbitrary picklable host objects across processes.
+    Returns the list [obj_0, ..., obj_{P-1}] on process 0, None
+    elsewhere (the reference's dist-eval gather,
+    extra_tools/test.py:221-222).
+
+    Default transport is a device collective on pickled bytes (mmcv
+    ``collect_results_gpu`` semantics) — it needs NO shared filesystem,
+    so it works on multi-host pods whose ``/tmp``/work_dir are
+    host-local. Set ``UNI3DETR_GATHER=file`` to use the shared-directory
+    protocol instead (mmcv ``collect_results_cpu``; requires ``tmpdir``
+    to be on storage visible to every process — useful when results are
+    too large to stage through HBM)."""
     if jax.process_count() == 1:
         return [obj]
+    if os.environ.get("UNI3DETR_GATHER", "device") != "file":
+        return _gather_objects_device(obj)
+    assert tmpdir is not None, \
+        "UNI3DETR_GATHER=file needs a shared tmpdir"
     os.makedirs(tmpdir, exist_ok=True)
     pid = jax.process_index()
     path = os.path.join(tmpdir, f"{name}_part_{pid}.pkl")
@@ -179,3 +192,20 @@ def gather_objects(obj, tmpdir: str, name: str = "gather"):
         os.remove(p)
     barrier(f"{name}_read")
     return out
+
+
+def _gather_objects_device(obj):
+    """Collective gather of pickled bytes: per-process payloads are
+    zero-padded to the max length, all-gathered as uint8 arrays, and
+    unpickled on process 0 (rank order = process-index order)."""
+    from jax.experimental import multihost_utils
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray(payload.size, np.int64))
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[:payload.size] = payload
+    gathered = multihost_utils.process_allgather(buf)
+    if jax.process_index() != 0:
+        return None
+    return [pickle.loads(np.asarray(gathered[i, :int(sizes[i])]).tobytes())
+            for i in range(jax.process_count())]

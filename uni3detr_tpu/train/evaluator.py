@@ -165,7 +165,8 @@ def run_inference_distributed(dataset, state, eval_fn, model_cfg, *,
         return run_inference(dataset, state, eval_fn, model_cfg,
                              batch_size=batch_size, max_samples=n,
                              tta_grid=tta_grid, box_type=box_type, log=log)
-    from ..parallel.mesh import gather_objects, to_host
+    from ..parallel import mesh as pmesh
+    from ..parallel.mesh import gather_objects, set_active_mesh, to_host
 
     idxs = list(range(jax.process_index(), n, jax.process_count()))
     shard = _DatasetShard(dataset, idxs)
@@ -176,10 +177,20 @@ def run_inference_distributed(dataset, state, eval_fn, model_cfg, *,
                                 constants=to_host(state.constants),
                                 opt_state={},
                                 step=to_host(state.step))
-    dets_l, gts_l = run_inference(shard, local_state, eval_fn, model_cfg,
-                                  batch_size=batch_size,
-                                  tta_grid=tta_grid, box_type=box_type,
-                                  log=log)
+    # The train CLI leaves its GLOBAL mesh active; constrain() inside the
+    # model would then emit sharding constraints over devices this
+    # process cannot address (and the shards have unequal lengths, so a
+    # global SPMD program would deadlock at the first collective).
+    # Deactivate it around the process-local forward.
+    saved_mesh = pmesh._ACTIVE_MESH
+    set_active_mesh(None)
+    try:
+        dets_l, gts_l = run_inference(shard, local_state, eval_fn,
+                                      model_cfg, batch_size=batch_size,
+                                      tta_grid=tta_grid, box_type=box_type,
+                                      log=log)
+    finally:
+        set_active_mesh(saved_mesh)
     parts = gather_objects((idxs, dets_l, gts_l), tmpdir, name="eval")
     if parts is None:
         return [], []
@@ -205,6 +216,7 @@ def evaluate(dets, gts, cfg, dataset, *, out_prefix: Optional[str] = None,
     dtype_ = cfg.data["dataset_type"]
     if dtype_ == "kitti":
         from ..data.eval.kitti_eval import (kitti_eval, kitti_gt_from_info,
+                                            lidar_alpha,
                                             project_boxes_to_image)
         infos = getattr(dataset, "infos", None)
         if infos:
@@ -216,6 +228,7 @@ def evaluate(dets, gts, cfg, dataset, *, out_prefix: Optional[str] = None,
                     shape = info.get("image", {}).get("image_shape")
                     det["bbox"] = project_boxes_to_image(
                         det["boxes"], info["calib"], shape)
+                    det["alpha"] = lidar_alpha(det["boxes"], info["calib"])
             if out_prefix or format_only:
                 # official label-format txts (mmdet3d format_results role)
                 from ..data.eval.kitti_submission import write_kitti_results
