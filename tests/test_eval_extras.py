@@ -88,3 +88,25 @@ def test_flops_tool():
     from uni3detr_tpu.utils.profiling import flops_of
     cost = flops_of(lambda x: x @ x, jnp.zeros((64, 64)))
     assert cost["flops"] >= 2 * 64 * 64 * 64 * 0.9
+
+
+def test_bev_visualization_writer(tmp_path):
+    """--show-dir path: corner math + PNG writer (reference test.py
+    --show-dir role, headless)."""
+    from uni3detr_tpu.utils.visualize import bev_corners, save_results_bev
+    # axis-aligned unit box at origin -> corners at (+-.5, +-.5)
+    c = bev_corners(np.array([[0, 0, 0, 1, 1, 1, 0.0]], np.float32))
+    assert np.allclose(sorted(c[0, :, 0]), [-0.5, -0.5, 0.5, 0.5])
+    # 90-degree yaw swaps dx/dy extents
+    c2 = bev_corners(np.array([[0, 0, 0, 2, 1, 1, np.pi / 2]], np.float32))
+    assert np.allclose(np.abs(c2[0]).max(0), [0.5, 1.0], atol=1e-5)
+
+    ds = [{"points": np.random.RandomState(0).rand(100, 3).astype(np.float32),
+           "gt_boxes": np.array([[0.5, 0.5, 0, 1, 1, 1, 0.3]], np.float32),
+           "meta": {"sample_idx": "scene7"}}]
+    dets = [{"boxes": np.array([[0.4, 0.5, 0, 1, 1, 1, 0.2]], np.float32),
+             "scores": np.array([0.9], np.float32),
+             "labels": np.array([0])}]
+    save_results_bev(ds, dets, str(tmp_path), class_names=["Car"], log=None)
+    out = tmp_path / "scene7_bev.png"
+    assert out.exists() and out.stat().st_size > 1000

@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None,
                    help="eval batch size (default cfg samples_per_gpu)")
+    p.add_argument("--show-dir", default=None,
+                   help="write per-sample BEV PNGs (points + GT + dets) "
+                        "to this directory (reference test.py "
+                        "--show-dir; headless-friendly)")
+    p.add_argument("--show-score-thr", type=float, default=0.3)
     p.add_argument("--tta", action="store_true",
                    help="test-time augmentation over the cfg 'tta' grid "
                         "(MultiRotScaleFlipAug3D equivalent)")
@@ -114,6 +119,11 @@ def main():
         with open(args.out, "wb") as f:
             pickle.dump(dets, f)
         print(f"wrote {args.out}")
+    if args.show_dir:
+        from ..utils.visualize import save_results_bev
+        save_results_bev(dataset, dets, args.show_dir,
+                         score_thr=args.show_score_thr,
+                         class_names=list(cfg.class_names))
     if args.format_only:
         evaluate(dets, gts, cfg, dataset,
                  out_prefix=args.out or "work_dirs/results",
