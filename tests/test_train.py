@@ -135,3 +135,29 @@ def test_resume_round_trip(tmp_path):
     np.testing.assert_array_equal(float(logs_a["total_loss"]),
                                   float(logs_b["total_loss"]))
     assert_tree_equal(s_a.params, s_b.params, "params after resume step")
+
+
+def test_resume_with_constants_in_checkpoint(tmp_path):
+    """OV checkpoints additionally store 'constants' (CLIP text
+    embeddings); --resume-from restores with the default
+    params/batch_stats/opt_state/step template and must tolerate the
+    extra on-disk component (regression: orbax structure-mismatch
+    ValueError on OV resume)."""
+    from flax.core import FrozenDict
+    from uni3detr_tpu.train.checkpoint import (save_checkpoint,
+                                               load_checkpoint,
+                                               restore_state)
+    batch = _batch(3)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(TINY, jax.random.PRNGKey(0), batch, tx)
+    state = state.replace(constants=FrozenDict(
+        {"head": {"zs_weights": np.ones((3, 16), np.float32)}}))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, meta={"epoch": 1, "step": 0})
+
+    state2 = create_train_state(TINY, jax.random.PRNGKey(1), batch, tx)
+    tree, _ = load_checkpoint(path, target_state=state2)
+    state2 = restore_state(state2, tree)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]))

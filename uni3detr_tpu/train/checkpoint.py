@@ -49,8 +49,12 @@ def load_checkpoint(path: str, target_state=None,
     cptr, path = _ckpt(path)
     if target_state is not None:
         template = {k: getattr(target_state, k) for k in components}
-        partial = len(components) < 4
-        tree = cptr.restore(path, item=template, partial_restore=partial)
+        # partial: the on-disk tree may carry components the caller does
+        # not restore — OV checkpoints store 'constants' (CLIP text
+        # embeddings, rebuilt from zeroshot_path at init) which the
+        # default resume template omits; eval omits opt_state. Entries
+        # present in the template but missing on disk still error.
+        tree = cptr.restore(path, item=template, partial_restore=True)
     else:
         tree = cptr.restore(path)
     meta = None
