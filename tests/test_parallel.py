@@ -122,3 +122,35 @@ def test_spatial2_forward_matches_unsharded():
     for k in ref:
         np.testing.assert_allclose(out[k], ref[k], atol=2e-5,
                                    err_msg=k)
+
+
+def test_mesh_sharded_eval_matches_unsharded():
+    """Single-process multi-chip eval (run_inference mesh=...) returns
+    the same detections as the unsharded loop (cli.test shards eval
+    batches over local devices when batch_size divides the device
+    count)."""
+    from uni3detr_tpu.parallel.mesh import make_mesh
+    from uni3detr_tpu.train.evaluator import run_inference
+    from uni3detr_tpu.train.step import (create_train_state,
+                                         make_eval_step, make_optimizer)
+
+    rng = np.random.RandomState(11)
+    dataset = []
+    for _ in range(9):  # odd size -> padded tail chunk
+        p, b, l = synth_scene(rng)
+        dataset.append({"points": p, "gt_boxes": b, "gt_labels": l})
+    import dataclasses
+    cfg = dataclasses.replace(TINY, num_points=512, max_gt=8)
+    init_batch = _batch(bs=8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), init_batch,
+                               make_optimizer(lambda _: 1e-3))
+    eval_fn = make_eval_step(cfg)
+    dets_ref, gts_ref = run_inference(dataset, state, eval_fn, cfg,
+                                      batch_size=8)
+    dets_m, gts_m = run_inference(dataset, state, eval_fn, cfg,
+                                  batch_size=8, mesh=make_mesh(8))
+    assert len(dets_ref) == len(dets_m) == 9
+    for a, b in zip(dets_ref, dets_m):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], atol=2e-5)
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=2e-5)
+        np.testing.assert_array_equal(a["labels"], b["labels"])

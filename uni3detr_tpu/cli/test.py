@@ -101,12 +101,22 @@ def main():
         print(f"TTA over {len(tta_grid)} augmentations")
 
     eval_fn = make_eval_step(model_cfg)
+    # single process, many chips: shard the eval batch over the local
+    # mesh (the reference needs one process per GPU for this). Activated
+    # when batch_size divides into the device count.
+    mesh = None
+    bs = args.batch_size or cfg.data.get("samples_per_gpu", 1)
+    if args.num_processes == 1 and jax.device_count() > 1 \
+            and bs % jax.device_count() == 0:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"sharding eval batches over {jax.device_count()} devices")
     # multi-process: per-process round-robin shards + rank-0 gather
     # (reference multi_gpu_test --gpu_collect, extra_tools/test.py:221);
     # single process falls through to the plain pipelined loop
     dets, gts = run_inference_distributed(
-        dataset, state, eval_fn, model_cfg,
-        batch_size=args.batch_size or cfg.data.get("samples_per_gpu", 1),
+        dataset, state, eval_fn, model_cfg, mesh=mesh,
+        batch_size=bs,
         max_samples=args.max_samples, tta_grid=tta_grid,
         box_type=cfg.data.get("box_type", "Depth"), log=print,
         tmpdir=os.path.join(os.path.dirname(args.out) or ".",

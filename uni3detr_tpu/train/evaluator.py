@@ -38,7 +38,7 @@ def _postprocess_sample(det: dict, model_cfg) -> dict:
 def run_inference(dataset, state, eval_fn, model_cfg, *,
                   batch_size: int = 1, max_samples: Optional[int] = None,
                   tta_grid: Optional[List[dict]] = None,
-                  box_type: str = "Depth", log=None):
+                  box_type: str = "Depth", log=None, mesh=None):
     """Run the jitted ``eval_fn`` over ``dataset`` and return (dets, gts).
 
     ``tta_grid``: aug descriptors from :func:`..train.tta.make_aug_grid`;
@@ -46,11 +46,31 @@ def run_inference(dataset, state, eval_fn, model_cfg, *,
     transform and fused per sample (reference MultiRotScaleFlipAug3D +
     merge_all_aug_bboxes_3d; the reference's own aug_test is marked "not
     done", uni3detr.py:318 — this one works, lidar-only).
+
+    ``mesh``: optional single-process device mesh — batches are sharded
+    over its ``data`` axis so one process drives every local chip
+    (the reference needs one process per GPU for this,
+    extra_tools/dist_test.sh; requires batch_size % mesh data size == 0).
     """
     import jax
     from ..data.datasets import collate_batch
     from ..data.loading import prefetch
     from .tta import apply_aug_points, map_boxes_back, merge_aug_detections
+
+    put = None
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, replicate, shard_batch
+        if batch_size % mesh.shape[DATA_AXIS] == 0:
+            put = lambda b: shard_batch(b, mesh)  # noqa: E731
+            # params may be committed to one device (orbax restore);
+            # replicate them over the mesh to match the sharded batches
+            state = state.replace(
+                params=replicate(state.params, mesh),
+                batch_stats=replicate(state.batch_stats, mesh),
+                constants=replicate(state.constants, mesh))
+        elif log:
+            log(f"mesh ignored: batch_size {batch_size} not divisible by "
+                f"data axis {mesh.shape[DATA_AXIS]}")
 
     n = len(dataset) if max_samples is None else min(len(dataset),
                                                      max_samples)
@@ -119,6 +139,8 @@ def run_inference(dataset, state, eval_fn, model_cfg, *,
         results = []
         for aug, batch in batches:
             key, k = jax.random.split(key)
+            if put is not None:
+                batch = put(batch)
             results.append((aug, eval_fn(state.params, state.batch_stats,
                                          batch, k,
                                          constants=state.constants)))
@@ -151,7 +173,8 @@ def run_inference_distributed(dataset, state, eval_fn, model_cfg, *,
                               max_samples: Optional[int] = None,
                               tta_grid: Optional[List[dict]] = None,
                               box_type: str = "Depth", log=None,
-                              tmpdir: str = "/tmp/uni3detr_dist_eval"):
+                              tmpdir: str = "/tmp/uni3detr_dist_eval",
+                              mesh=None):
     """Multi-process eval: each process runs its round-robin shard of the
     val split on its local devices, results are gathered on process 0
     (mmcv ``multi_gpu_test`` + ``collect_results_cpu``,
@@ -164,7 +187,8 @@ def run_inference_distributed(dataset, state, eval_fn, model_cfg, *,
     if jax.process_count() == 1:
         return run_inference(dataset, state, eval_fn, model_cfg,
                              batch_size=batch_size, max_samples=n,
-                             tta_grid=tta_grid, box_type=box_type, log=log)
+                             tta_grid=tta_grid, box_type=box_type, log=log,
+                             mesh=mesh)
     from ..parallel import mesh as pmesh
     from ..parallel.mesh import gather_objects, set_active_mesh, to_host
 
