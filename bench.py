@@ -42,12 +42,43 @@ def chip_peak_tflops(kind: str) -> float:
     return 197.0  # conservative default
 
 
+def require_device(timeout_s: int | None = None) -> None:
+    """Fail fast when the TPU tunnel is down.
+
+    On the axon backend, ``jax.devices()`` HANGS forever (0% CPU) when
+    the remote tunnel is unreachable — probe it in a disposable
+    subprocess with a timeout so a down tunnel yields a clear error and
+    a nonzero exit instead of stalling the caller indefinitely.
+    """
+    import os
+    import subprocess
+
+    timeout_s = timeout_s or int(os.environ.get(
+        "UNI3DETR_DEVICE_TIMEOUT", "600"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f"ERROR: jax device discovery did not finish within "
+            f"{timeout_s}s — the TPU tunnel is likely down; refusing to "
+            f"hang. Set UNI3DETR_DEVICE_TIMEOUT to raise the limit.\n")
+        raise SystemExit(3)
+    if proc.returncode != 0:
+        sys.stderr.write("ERROR: jax device discovery failed:\n"
+                         + proc.stderr[-2000:] + "\n")
+        raise SystemExit(3)
+
+
 def main(preset: str = "uni3detr_sunrgbd", n_scenes: int = N_SCENES,
          distribution: str = "clustered"):
     """One JSON line for ``preset`` (default = the driver's headline
     SUN RGB-D metric; pass e.g. ``uni3detr_kitti_car`` /
     ``uni3detr_nuscenes`` as argv[1] for the outdoor configs).
     ``distribution``: 'clustered' (surface-like, default) | 'uniform'."""
+    require_device()
     import jax
     # executables deserialized from the persistent compilation cache run
     # through a pathologically slow path on the axon TPU backend

@@ -17,12 +17,13 @@ import time
 
 import numpy as np
 
-from bench import chip_peak_tflops
+from bench import chip_peak_tflops, require_device
 
 N_STEPS = 5
 
 
 def main(preset: str = "uni3detr_sunrgbd", batch_size=2):
+    require_device()
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_compilation_cache", False)  # axon perf
