@@ -105,18 +105,34 @@ def test_project_boxes_to_image_height():
     assert (bb2 == 0).all()
 
 
+def _rep41(gt, det, n=41):
+    """Replicate a 1-scene fixture across n images with distinct scores
+    so a perfect detector fills all 41 official recall sample points."""
+    gts, dets = [], []
+    for i in range(n):
+        g = {k: np.copy(v) for k, v in gt.items()}
+        d = {k: np.copy(v) for k, v in det.items()}
+        d["scores"] = d["scores"] - i * 0.001
+        gts.append(g)
+        dets.append(d)
+    return gts, dets
+
+
 def test_kitti_det_height_filter():
     gt_b = np.array([[10, 0, -1, 4, 2, 1.5, 0.0]], np.float32)
-    gt = [{"boxes": gt_b, "labels": np.array([0])}]
+    gt1 = {"boxes": gt_b, "labels": np.array([0])}
     # det matches the GT but its projected box is 10 px tall -> ignored at
-    # every difficulty (hmin >= 25), so recall stays 0 without FP penalty
-    det = [{"boxes": gt_b.copy(), "labels": np.array([0]),
+    # every difficulty (hmin >= 25); it consumes the GT (neither TP nor
+    # FP), so AP stays 0 without FP penalty
+    det1 = {"boxes": gt_b.copy(), "labels": np.array([0]),
             "scores": np.array([0.9], np.float32),
-            "bbox": np.array([[0, 0, 10, 10]], np.float32)}]
-    res = kitti_eval(gt, det, ["Car"])
+            "bbox": np.array([[0, 0, 10, 10]], np.float32)}
+    gts, dets = _rep41(gt1, det1)
+    res = kitti_eval(gts, dets, ["Car"])
     assert res["Car_3d_moderate"] == pytest.approx(0.0)
-    det[0]["bbox"] = np.array([[0, 0, 10, 50]], np.float32)  # 50 px tall
-    res2 = kitti_eval(gt, det, ["Car"])
+    det1["bbox"] = np.array([[0, 0, 10, 50]], np.float32)  # 50 px tall
+    gts, dets = _rep41(gt1, det1)
+    res2 = kitti_eval(gts, dets, ["Car"])
     assert res2["Car_3d_moderate"] == pytest.approx(100.0)
 
 
@@ -281,12 +297,13 @@ def test_kitti_bev_ap_and_bbox_ap():
     gt_b = np.array([[10, 0, -1, 4, 2, 1.5, 0.0]], np.float32)
     det_b = gt_b.copy()
     det_b[0, 2] += 1.2  # lift: 3D IoU ~ (0.3/1.5 overlap) -> below 0.7
-    gt = [{"boxes": gt_b, "labels": np.array([0]),
-           "bbox": np.array([[0, 0, 60, 60]], np.float32)}]
-    det = [{"boxes": det_b, "labels": np.array([0]),
+    gt1 = {"boxes": gt_b, "labels": np.array([0]),
+           "bbox": np.array([[0, 0, 60, 60]], np.float32)}
+    det1 = {"boxes": det_b, "labels": np.array([0]),
             "scores": np.array([0.9], np.float32),
-            "bbox": np.array([[0, 0, 60, 60]], np.float32)}]
-    res = kitti_eval(gt, det, ["Car"])
+            "bbox": np.array([[0, 0, 60, 60]], np.float32)}
+    gts, dets = _rep41(gt1, det1)
+    res = kitti_eval(gts, dets, ["Car"])
     assert res["Car_3d_moderate"] == pytest.approx(0.0)
     assert res["Car_bev_moderate"] == pytest.approx(100.0)  # BEV exact
     assert res["Car_bbox_moderate"] == pytest.approx(100.0)
@@ -300,55 +317,80 @@ def test_kitti_aos_orientation_similarity():
     base = {"boxes": gt_b, "labels": np.array([0]),
             "bbox": np.array([[0, 0, 60, 60]], np.float32),
             "alpha": np.array([0.5], np.float32)}
-    det = [{"boxes": gt_b.copy(), "labels": np.array([0]),
+    det1 = {"boxes": gt_b.copy(), "labels": np.array([0]),
             "scores": np.array([0.9], np.float32),
             "bbox": np.array([[0, 0, 60, 60]], np.float32),
-            "alpha": np.array([0.5], np.float32)}]
-    res = kitti_eval([dict(base)], det, ["Car"])
+            "alpha": np.array([0.5], np.float32)}
+    gts, dets = _rep41(base, det1)
+    res = kitti_eval(gts, dets, ["Car"])
     assert res["Car_aos_moderate"] == pytest.approx(
         res["Car_bbox_moderate"], abs=1e-6)
-    det[0]["alpha"] = np.array([0.5 + np.pi], np.float32)
-    res2 = kitti_eval([dict(base)], det, ["Car"])
+    det1["alpha"] = np.array([0.5 + np.pi], np.float32)
+    gts, dets = _rep41(base, det1)
+    res2 = kitti_eval(gts, dets, ["Car"])
     assert res2["Car_bbox_moderate"] == pytest.approx(100.0)
     assert res2["Car_aos_moderate"] == pytest.approx(0.0, abs=1e-6)
 
 
-def test_kitti_undersized_det_consumes_ignored_gt():
-    """Official ignore interaction: an undersized (height < hmin) det
-    that overlaps an IGNORED GT consumes it, so a later valid det cannot
-    match that GT and becomes a FP (previously the undersized det was
-    dropped before matching)."""
-    # two identical GT boxes stacked at the same location: one ignored
-    # (tiny 2D height), one valid
-    b = np.array([[10, 0, -1, 4, 2, 1.5, 0.0]], np.float32)
-    gt = [{"boxes": np.concatenate([b, b]), "labels": np.array([0, 0]),
-           "bbox": np.array([[0, 0, 60, 10],     # 10 px -> ignored
-                             [0, 0, 60, 60]], np.float32),
+def test_kitti_undersized_det_never_fp():
+    """Official ignore interactions: an undersized (projected height <
+    hmin) detection is never a FP — whether it overlaps an ignored GT
+    (consuming it) or nothing at all."""
+    a = np.array([[10, 0, -1, 4, 2, 1.5, 0.0]], np.float32)
+    b = np.array([[30, 10, -1, 4, 2, 1.5, 0.0]], np.float32)
+    # valid GT at A (60 px), ignored GT at B (10 px)
+    gt1 = {"boxes": np.concatenate([a, b]), "labels": np.array([0, 0]),
+           "bbox": np.array([[0, 0, 60, 60],
+                             [200, 0, 260, 10]], np.float32),
            "occluded": np.array([0, 0]),
-           "truncated": np.array([0.0, 0.0], np.float32)}]
-    # det 1 (score .9): undersized -> consumes the ignored GT? No: both
-    # GTs overlap it equally; it must only consume the IGNORED one.
-    # det 2 (score .8): valid height, matches the remaining valid GT.
-    det = [{"boxes": np.concatenate([b, b]), "labels": np.array([0, 0]),
-            "scores": np.array([0.9, 0.8], np.float32),
-            "bbox": np.array([[0, 0, 60, 10],
-                              [0, 0, 60, 60]], np.float32)}]
-    res = kitti_eval(gt, det, ["Car"])
-    # valid det matched the valid GT -> full AP (1 valid GT, 1 TP, 0 FP)
+           "truncated": np.array([0.0, 0.0], np.float32)}
+    # det0: valid match on A; det1: undersized det on B
+    det1 = {"boxes": np.concatenate([a, b]), "labels": np.array([0, 0]),
+            "scores": np.array([0.9, 0.8995], np.float32),
+            "bbox": np.array([[0, 0, 60, 60],
+                              [200, 0, 260, 10]], np.float32)}
+    gts, dets = _rep41(gt1, det1)
+    res = kitti_eval(gts, dets, ["Car"])
     assert res["Car_3d_moderate"] == pytest.approx(100.0)
 
-    # without the ignored GT present, the undersized det contributes
-    # nothing and the valid det still scores
-    gt2 = [{"boxes": b, "labels": np.array([0]),
-            "bbox": np.array([[0, 0, 60, 60]], np.float32),
-            "occluded": np.array([0]),
-            "truncated": np.array([0.0], np.float32)}]
-    det2 = [{"boxes": np.concatenate([b, b]), "labels": np.array([0, 0]),
-             "scores": np.array([0.9, 0.8], np.float32),
-             "bbox": np.array([[0, 0, 60, 10],
-                               [0, 0, 60, 60]], np.float32)}]
-    res2 = kitti_eval(gt2, det2, ["Car"])
+    # without the ignored GT, the undersized det overlaps nothing and
+    # still contributes no FP
+    gt2 = {"boxes": a, "labels": np.array([0]),
+           "bbox": np.array([[0, 0, 60, 60]], np.float32),
+           "occluded": np.array([0]),
+           "truncated": np.array([0.0], np.float32)}
+    gts2, dets2 = _rep41(gt2, det1)
+    res2 = kitti_eval(gts2, dets2, ["Car"])
     assert res2["Car_3d_moderate"] == pytest.approx(100.0)
+
+    # control: a VALID-height stray det at B is a FP
+    det3 = {"boxes": np.concatenate([a, b]), "labels": np.array([0, 0]),
+            "scores": np.array([0.9, 0.8995], np.float32),
+            "bbox": np.array([[0, 0, 60, 60],
+                              [200, 0, 260, 60]], np.float32)}
+    gts3, dets3 = _rep41(gt2, det3)
+    res3 = kitti_eval(gts3, dets3, ["Car"])
+    assert res3["Car_3d_moderate"] < 100.0
+
+
+def test_kitti_ignored_gt_consumes_valid_det_official_quirk():
+    """eval.cpp processes ignored GTs through the same gt-major loop, so
+    an ignored GT encountered first CAN absorb the valid detection that
+    overlaps both it and a valid GT (the det counts neither TP nor FP,
+    the valid GT goes unmatched). Pinned so any 'fix' of this official
+    behavior is a conscious decision."""
+    b = np.array([[10, 0, -1, 4, 2, 1.5, 0.0]], np.float32)
+    gt1 = {"boxes": np.concatenate([b, b]), "labels": np.array([0, 0]),
+           "bbox": np.array([[0, 0, 60, 10],     # 10 px -> ignored, FIRST
+                             [0, 0, 60, 60]], np.float32),
+           "occluded": np.array([0, 0]),
+           "truncated": np.array([0.0, 0.0], np.float32)}
+    det1 = {"boxes": b, "labels": np.array([0]),
+            "scores": np.array([0.9], np.float32),
+            "bbox": np.array([[0, 0, 60, 60]], np.float32)}
+    gts, dets = _rep41(gt1, det1)
+    res = kitti_eval(gts, dets, ["Car"])
+    assert res["Car_3d_moderate"] == pytest.approx(0.0)
 
 
 def test_kitti_lidar_alpha():
@@ -384,7 +426,8 @@ def test_evaluate_dispatch_wires_kitti_aos():
             "image": {"image_shape": (100, 100)}}
 
     class _DS:
-        infos = [info]
+        # 41 copies fill all official recall sample points (AP40 == 100)
+        infos = [info] * 41
 
     class _Cfg:
         class_names = ["Car"]
@@ -394,11 +437,13 @@ def test_evaluate_dispatch_wires_kitti_aos():
             return d
 
     dets = [{"boxes": boxes.copy(), "labels": np.array([0]),
-             "scores": np.array([0.9], np.float32)}]
-    res = evaluate(dets, [None], _Cfg(), _DS(), log=lambda *a: None)
+             "scores": np.array([0.9 - 0.001 * i], np.float32)}
+            for i in range(41)]
+    res = evaluate(dets, [None] * 41, _Cfg(), _DS(), log=lambda *a: None)
     assert res["Car_3d_moderate"] == pytest.approx(100.0)
     assert res["Car_aos_moderate"] == pytest.approx(
         res["Car_bbox_moderate"], abs=1e-6)
+    assert res["Car_aos_moderate"] == pytest.approx(100.0)
 
 
 def test_kitti_submission_writer(tmp_path):

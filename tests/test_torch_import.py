@@ -176,6 +176,10 @@ def make_state_dict(cfg: Uni3DETRConfig, rng, spconv_v2=False):
 # ---------------------------------------------------------------------------
 
 def t(x):
+    # pass torch tensors through so the oracles stay differentiable when a
+    # requires_grad state_dict is fed (test_train_math_parity.py)
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.from_numpy(np.asarray(x, np.float32))
 
 
@@ -469,8 +473,8 @@ def oracle_head(sd, cfg, vol_t, fps, rnd):
         all_cls.append(cls)
         all_box.append(box)
         all_iou.append(iou)
-    return (torch.stack(all_cls).numpy(), torch.stack(all_box).numpy(),
-            torch.stack(all_iou).numpy())
+    return (torch.stack(all_cls), torch.stack(all_box),
+            torch.stack(all_iou))
 
 
 # ---------------------------------------------------------------------------
@@ -553,12 +557,12 @@ def run_full_parity(cfg, rng, atol):
         cls_o, box_o, iou_o = oracle_head(sd, cfg, fused,
                                           fps.astype(np.float32), rnd)
 
-    np.testing.assert_allclose(np.asarray(outs["all_cls_scores"]), cls_o,
-                               atol=atol)
-    np.testing.assert_allclose(np.asarray(outs["all_bbox_preds"]), box_o,
-                               atol=atol)
-    np.testing.assert_allclose(np.asarray(outs["all_iou_preds"]), iou_o,
-                               atol=atol)
+    np.testing.assert_allclose(np.asarray(outs["all_cls_scores"]),
+                               cls_o.numpy(), atol=atol)
+    np.testing.assert_allclose(np.asarray(outs["all_bbox_preds"]),
+                               box_o.numpy(), atol=atol)
+    np.testing.assert_allclose(np.asarray(outs["all_iou_preds"]),
+                               iou_o.numpy(), atol=atol)
 
 
 # ---------------------------------------------------------------------------

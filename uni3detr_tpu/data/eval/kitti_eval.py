@@ -13,15 +13,30 @@ over three overlap modes —
   2D boxes ('bbox', from :func:`project_boxes_to_image`) and
   observation angles ('alpha', from :func:`lidar_alpha`).
 
-Difficulty follows the official GT criteria when the info fields are
-available (bbox height / occlusion / truncation). Ignore handling
-follows the official eval: a detection whose projected 2D height is
-below the difficulty minimum is never a FP and may consume an ignored
-GT (marking it matched) before other detections see it; a detection
-matching an ignored GT counts neither TP nor FP. Remaining documented
-deviation: matching is greedy in detection-score order (mmdet3d-style)
-rather than the official gt-major assignment, and DontCare regions are
-not modelled.
+Assignment and PR construction follow the official ``eval.cpp``
+(as transcribed by mmdet3d's kitti eval, the path the reference
+delegates to):
+
+- GT cleaning per (class, difficulty): valid (0), ignored (1: same
+  class but difficulty exceeded, or a neighboring class — Van for Car,
+  Person_sitting for Pedestrian), irrelevant (-1); ``DontCare`` regions
+  collected separately.
+- Detection cleaning: a det whose projected 2D height is below the
+  difficulty minimum is "ignored" (never a FP, may consume a GT).
+- Score thresholds: a first GT-MAJOR pass (each valid GT takes its
+  highest-scoring overlapping det) collects TP scores; 41
+  recall-equally-spaced thresholds are sampled from them
+  (``get_thresholds``).
+- Per threshold, a second GT-MAJOR pass (each GT takes the
+  max-overlap VALID det above threshold; an ignored det only if no
+  valid one) accumulates tp/fp; unassigned valid dets above threshold
+  are FPs, minus those whose intersection/det-area with a DontCare
+  region exceeds the overlap threshold (2D-bbox metric only, as in
+  mmdet3d).
+- AP11 = mean precision at every 4th threshold index (11 of 41);
+  AP40 = mean over indices 1..40; precision is max-smoothed from the
+  right. Sparse eval sets leave later recall points empty (zero
+  precision) exactly as the official tooling does.
 """
 from __future__ import annotations
 
@@ -78,18 +93,29 @@ def lidar_alpha(boxes_lidar, calib):
     return alpha.astype(np.float32)
 
 
+# official neighboring-class ignores (eval.cpp clean_data): a det of the
+# evaluated class overlapping one of these is neither TP nor FP
+NEIGHBOR_CLASSES = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
+
+
 def kitti_gt_from_info(info, classes):
     """Rebuild a full-annotation GT dict from an info record (the official
     eval scores against raw annotations, not the range-filtered training
-    view): boxes_lidar + labels + the difficulty/orientation fields."""
+    view): boxes_lidar + names + the difficulty/orientation fields.
+    Neighbor-class and DontCare rows are retained — the official cleaning
+    consumes them (ignored GTs / DontCare regions)."""
     annos = info.get("annos", {})
-    names = list(annos.get("name", []))
-    keep = [i for i, n in enumerate(names) if n in classes]
+    names = np.asarray(list(annos.get("name", [])), dtype=object)
+    neighbors = {n for c in classes for n in NEIGHBOR_CLASSES.get(c, ())}
+    keep = [i for i, n in enumerate(names)
+            if n in classes or n in neighbors or n == "DontCare"]
     boxes = np.asarray(annos.get("gt_boxes_lidar", np.zeros((0, 7))),
                        np.float32).reshape(-1, 7)
     gt = {"boxes": boxes[keep] if len(boxes) else boxes,
-          "labels": np.asarray([classes.index(names[i]) for i in keep],
-                               np.int32)}
+          "names": names[keep],
+          "labels": np.asarray(
+              [classes.index(n) if n in classes else -1
+               for n in names[keep]], np.int32)}
     for k in ("bbox", "occluded", "truncated", "alpha"):
         if k in annos:
             gt[k] = np.asarray(annos[k])[keep]
@@ -106,17 +132,38 @@ DEFAULT_IOU_THR = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 DEFAULT_IOU_THR_2D = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 
 
-def _gt_difficulty_mask(gt: dict, level: int):
+def _gt_ignored(gt: dict, cls: str, level: int):
+    """Official clean_data: per-row -1 (irrelevant) / 0 (valid) /
+    1 (ignored: same class over difficulty, or neighboring class)."""
     n = len(gt["boxes"])
-    if "bbox" not in gt or "occluded" not in gt:
-        return np.ones(n, bool), np.zeros(n, bool)
-    hmin, occ_max, trunc_max = DIFFICULTY[level]
-    h = gt["bbox"][:, 3] - gt["bbox"][:, 1]
-    valid = ((h >= hmin) & (gt["occluded"] <= occ_max)
-             & (gt["truncated"] <= trunc_max))
-    # GTs failing this level but valid at a harder one are "ignored"
-    ignored = ~valid
-    return valid, ignored
+    names = gt.get("names")
+    if names is None:  # labels-only fixtures: every row is this class
+        same = np.ones(n, bool)
+        neigh = np.zeros(n, bool)
+    else:
+        names = np.asarray(names, dtype=object)
+        same = names == cls
+        neigh = np.isin(names, NEIGHBOR_CLASSES.get(cls, ()))
+    if "bbox" in gt and "occluded" in gt:
+        hmin, occ_max, trunc_max = DIFFICULTY[level]
+        h = np.asarray(gt["bbox"])[:, 3] - np.asarray(gt["bbox"])[:, 1]
+        too_hard = ((h < hmin) | (np.asarray(gt["occluded"]) > occ_max)
+                    | (np.asarray(gt["truncated"]) > trunc_max))
+    else:
+        too_hard = np.zeros(n, bool)
+    out = np.full(n, -1, np.int32)
+    out[same & ~too_hard] = 0
+    out[(same & too_hard) | neigh] = 1
+    return out
+
+
+def _dc_boxes(gt: dict):
+    """DontCare 2D regions (K, 4) xyxy, or empty."""
+    names = gt.get("names")
+    if names is None or "bbox" not in gt:
+        return np.zeros((0, 4), np.float32)
+    sel = np.asarray(names, dtype=object) == "DontCare"
+    return np.asarray(gt["bbox"], np.float32)[sel]
 
 
 def _iou2d_matrix(db, gb):
@@ -133,80 +180,134 @@ def _iou2d_matrix(db, gb):
     return inter / np.maximum(a1[:, None] + a2[None, :] - inter, 1e-9)
 
 
-def _ap_from_pr(recalls, precisions, n_points):
-    if n_points == 11:
-        thresholds = np.linspace(0.0, 1.0, 11)
-    else:
-        thresholds = np.linspace(1.0 / n_points, 1.0, n_points)
-    ap = 0.0
-    for t in thresholds:
-        p = precisions[recalls >= t]
-        ap += (p.max() if len(p) else 0.0) / len(thresholds)
-    return ap
+N_SAMPLE_PTS = 41
+
+
+def _get_thresholds(tp_scores, num_valid_gt):
+    """Official get_thresholds: recall-equally-spaced score thresholds
+    (eval.cpp getThresholds / mmdet3d get_thresholds)."""
+    scores = np.sort(np.asarray(tp_scores))[::-1]
+    thresholds, current_recall = [], 0.0
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_valid_gt
+        r_recall = (i + 2) / num_valid_gt if i < len(scores) - 1 \
+            else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1.0 / (N_SAMPLE_PTS - 1.0)
+    return np.asarray(thresholds)
+
+
+def _first_pass(ov, scores, det_ign, ignored_gt, min_ov):
+    """GT-major pass at threshold 0 collecting TP scores (eval.cpp
+    computeStatistics with compute_fp=false: each relevant GT takes the
+    highest-SCORING overlapping unassigned det)."""
+    D = len(scores)
+    assigned = np.zeros(D, bool)
+    out = []
+    for i in range(len(ignored_gt)):
+        gi = ignored_gt[i]
+        if gi == -1:
+            continue
+        cand = np.nonzero(~assigned & (ov[:, i] > min_ov))[0]
+        if len(cand) == 0:
+            continue
+        j = cand[int(np.argmax(scores[cand]))]
+        if gi == 0 and det_ign[j] == 0:
+            out.append(float(scores[j]))
+        assigned[j] = True
+    return out
+
+
+def _second_pass(ov, scores, det_ign, ignored_gt, thresh, min_ov,
+                 dc_ov=None, sim=None):
+    """GT-major pass at a score threshold (compute_fp=true): each
+    relevant GT takes the max-OVERLAP valid det; an undersized det only
+    when no valid one overlaps. Returns (tp, fp, similarity_sum)."""
+    D = len(scores)
+    assigned = np.zeros(D, bool)
+    ign_thr = scores < thresh
+    tp, simsum = 0, 0.0
+    for i in range(len(ignored_gt)):
+        gi = ignored_gt[i]
+        if gi == -1:
+            continue
+        cand = ~assigned & ~ign_thr & (ov[:, i] > min_ov)
+        vi = np.nonzero(cand & (det_ign == 0))[0]
+        if len(vi):
+            j = vi[int(np.argmax(ov[vi, i]))]
+            j_ign = False
+        else:
+            ii = np.nonzero(cand & (det_ign == 1))[0]
+            if len(ii) == 0:
+                continue  # fn if gi == 0 (not needed for precision)
+            j = ii[0]
+            j_ign = True
+        assigned[j] = True
+        if gi == 0 and not j_ign:
+            tp += 1
+            if sim is not None:
+                simsum += float(sim[j, i])
+    fp = int((~assigned & ~ign_thr & (det_ign == 0)).sum())
+    if dc_ov is not None and dc_ov.shape[1]:
+        stuff = (~assigned & ~ign_thr & (det_ign == 0)
+                 & (dc_ov > min_ov).any(axis=1))
+        fp -= int(stuff.sum())
+    return tp, fp, simsum
 
 
 def _accumulate_metric(entries, level, thr, ov_key, n_points,
-                       with_aos=False):
-    """One (class, difficulty, overlap-mode) PR accumulation.
+                       with_aos=False, use_dc=False):
+    """One (class, difficulty, overlap-mode) official PR accumulation.
 
-    entries: per-scene dicts with 'gt', 'scores', 'det_h', overlap
-    matrices under ov_key, and optionally 'sim' (D, G) orientation
-    similarities. Returns (ap*100 or nan, aos*100 or None)."""
-    hmin = DIFFICULTY[level][0]
-    tp, fp, scores, sims, n_gt = [], [], [], [], 0
+    entries: per-scene dicts with 'ignored_gt' (per level), 'scores',
+    'det_ign' (per level), overlap matrices under ov_key, 'dc_ov'
+    (intersection/det-area vs DontCare regions) and optionally 'sim'.
+    Returns (ap*100 or nan, aos*100 or None)."""
+    n_gt = 0
+    tp_scores = []
     for e in entries:
-        ov = e[ov_key]
-        valid, ignored = _gt_difficulty_mask(e["gt"], level)
-        n_gt += int(valid.sum())
-        sc = e["scores"]
-        det_h = e["det_h"]
-        order = np.argsort(-sc)
-        matched = np.zeros(ov.shape[1], bool)
-        for d in order:
-            det_ign = det_h is not None and det_h[d] < hmin
-            if det_ign:
-                # official clean_data: undersized det is never a FP, but
-                # consumes an IGNORED GT it overlaps (so the GT can't be
-                # "free" for later detections)
-                if ov.shape[1]:
-                    cand = ov[d] * (ignored & ~matched)
-                    j = int(np.argmax(cand))
-                    if cand[j] >= thr:
-                        matched[j] = True
-                continue
-            if ov.shape[1]:
-                j = int(np.argmax(ov[d] * ~matched))
-                if ov[d, j] >= thr and not matched[j]:
-                    matched[j] = True
-                    if ignored[j]:
-                        continue  # neither TP nor FP
-                    scores.append(sc[d])
-                    tp.append(1.0)
-                    fp.append(0.0)
-                    sims.append(e["sim"][d, j] if with_aos else 0.0)
-                    continue
-            scores.append(sc[d])
-            tp.append(0.0)
-            fp.append(1.0)
-            sims.append(0.0)
+        ig = e["ignored_gt"][level]
+        n_gt += int((ig == 0).sum())
+        tp_scores += _first_pass(e[ov_key], e["scores"],
+                                 e["det_ign"][level], ig, thr)
     if n_gt == 0:
         return float("nan"), (float("nan") if with_aos else None)
-    if not scores:
-        return 0.0, (0.0 if with_aos else None)
-    order = np.argsort(-np.asarray(scores))
-    ctp = np.cumsum(np.asarray(tp)[order])
-    cfp = np.cumsum(np.asarray(fp)[order])
-    rec = ctp / n_gt
-    prec = ctp / np.maximum(ctp + cfp, 1e-9)
-    ap = _ap_from_pr(rec, prec, n_points) * 100.0
-    if not with_aos:
-        return ap, None
-    # AOS: precision-like curve with cumulated orientation similarity in
-    # the numerator (official eval.cpp computeStatistics similarity)
-    csim = np.cumsum(np.asarray(sims)[order])
-    prec_aos = csim / np.maximum(ctp + cfp, 1e-9)
-    aos = _ap_from_pr(rec, prec_aos, n_points) * 100.0
-    return ap, aos
+    thresholds = _get_thresholds(tp_scores, n_gt)
+    prec = np.zeros(N_SAMPLE_PTS)
+    aosp = np.zeros(N_SAMPLE_PTS)
+    if len(thresholds):
+        tps = np.zeros(len(thresholds))
+        fps = np.zeros(len(thresholds))
+        sims = np.zeros(len(thresholds))
+        for e in entries:
+            ig = e["ignored_gt"][level]
+            di = e["det_ign"][level]
+            dc = e.get("dc_ov") if use_dc else None
+            sim = e.get("sim") if with_aos else None
+            for ti, t in enumerate(thresholds):
+                tp, fp, s = _second_pass(e[ov_key], e["scores"], di, ig,
+                                         t, thr, dc_ov=dc, sim=sim)
+                tps[ti] += tp
+                fps[ti] += fp
+                sims[ti] += s
+        denom = np.maximum(tps + fps, 1e-9)
+        prec[:len(thresholds)] = tps / denom
+        aosp[:len(thresholds)] = sims / denom
+    # right-max smoothing over the 41 sample points (zeros beyond the
+    # last threshold stay zero, as in mmdet3d/eval.cpp)
+    for i in range(N_SAMPLE_PTS):
+        prec[i] = prec[i:].max()
+        aosp[i] = aosp[i:].max()
+    if n_points == 11:
+        ap = float(prec[0::4].sum() / 11.0 * 100.0)
+        aos = float(aosp[0::4].sum() / 11.0 * 100.0)
+    else:
+        ap = float(prec[1:].sum() / 40.0 * 100.0)
+        aos = float(aosp[1:].sum() / 40.0 * 100.0)
+    return ap, (aos if with_aos else None)
 
 
 def kitti_eval(gt_list: List[dict], det_list: List[dict],
@@ -232,7 +333,11 @@ def kitti_eval(gt_list: List[dict], det_list: List[dict],
         have_2d = True
         have_aos = True
         for gt, det in zip(gt_list, det_list):
-            gm = gt["labels"] == ci
+            # with per-row names present, keep ALL rows (neighbors /
+            # DontCare become ignored GTs / regions); labels-only
+            # fixtures keep the current-class rows
+            gm = np.ones(len(gt["boxes"]), bool) if "names" in gt \
+                else (gt["labels"] == ci)
             dm = det["labels"] == ci
             gb, db = gt["boxes"][gm], det["boxes"][dm]
             if len(gb) and len(db):
@@ -243,23 +348,44 @@ def kitti_eval(gt_list: List[dict], det_list: List[dict],
             else:
                 ov3d = np.zeros((len(db), len(gb)), np.float32)
                 ovbev = ov3d
-            e = {"gt": {k: np.asarray(gt[k])[gm] for k in
-                        ("bbox", "occluded", "truncated", "alpha")
-                        if k in gt},
-                 "scores": det["scores"][dm],
-                 "ov3d": ov3d, "ovbev": ovbev}
-            e["gt"]["boxes"] = gb
-            e["det_h"] = ((det["bbox"][dm][:, 3] - det["bbox"][dm][:, 1])
-                          if "bbox" in det else None)
+            gsub = {k: np.asarray(gt[k])[gm] for k in
+                    ("names", "bbox", "occluded", "truncated", "alpha")
+                    if k in gt}
+            gsub["boxes"] = gb
+            e = {"scores": det["scores"][dm],
+                 "ov3d": ov3d, "ovbev": ovbev,
+                 "ignored_gt": [_gt_ignored(gsub, cls, lvl)
+                                for lvl in range(3)]}
+            det_h = ((det["bbox"][dm][:, 3] - det["bbox"][dm][:, 1])
+                     if "bbox" in det else None)
+            e["det_ign"] = [
+                np.zeros(len(db), np.int32) if det_h is None
+                else (det_h < DIFFICULTY[lvl][0]).astype(np.int32)
+                for lvl in range(3)]
+            dc = _dc_boxes(gsub)
+            if "bbox" in det and len(dc):
+                # criterion 0: intersection / detection area
+                dbx = np.asarray(det["bbox"])[dm]
+                x1 = np.maximum(dbx[:, None, 0], dc[None, :, 0])
+                y1 = np.maximum(dbx[:, None, 1], dc[None, :, 1])
+                x2 = np.minimum(dbx[:, None, 2], dc[None, :, 2])
+                y2 = np.minimum(dbx[:, None, 3], dc[None, :, 3])
+                inter = (np.clip(x2 - x1, 0, None)
+                         * np.clip(y2 - y1, 0, None))
+                da = ((dbx[:, 2] - dbx[:, 0])
+                      * (dbx[:, 3] - dbx[:, 1]))[:, None]
+                e["dc_ov"] = inter / np.maximum(da, 1e-9)
+            else:
+                e["dc_ov"] = np.zeros((int(dm.sum()), 0), np.float32)
             if "bbox" in det and "bbox" in gt:
                 e["ov2d"] = _iou2d_matrix(np.asarray(det["bbox"])[dm],
                                           np.asarray(gt["bbox"])[gm])
             else:
                 have_2d = False
             if "alpha" in det and "alpha" in gt:
-                da = np.asarray(det["alpha"])[dm]
+                da_ = np.asarray(det["alpha"])[dm]
                 ga = np.asarray(gt["alpha"])[gm]
-                e["sim"] = (1.0 + np.cos(da[:, None] - ga[None, :])) / 2.0
+                e["sim"] = (1.0 + np.cos(da_[:, None] - ga[None, :])) / 2.0
             else:
                 have_aos = False
             entries.append(e)
@@ -273,7 +399,7 @@ def kitti_eval(gt_list: List[dict], det_list: List[dict],
             if have_2d:
                 ap2d, aos = _accumulate_metric(
                     entries, level, thr2d, "ov2d", n_points,
-                    with_aos=have_aos)
+                    with_aos=have_aos, use_dc=True)
                 results[f"{cls}_bbox_{lname}"] = ap2d
                 if have_aos:
                     results[f"{cls}_aos_{lname}"] = aos

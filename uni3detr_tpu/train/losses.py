@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geom.boxes import encode_boxes, decode_boxes
 from ..geom.iou import (
@@ -196,14 +197,23 @@ def _layer_loss(cls_scores, bbox_preds, iou_preds, gt_boxes, gt_labels,
         iou_term = rdiou_penalty(decoded[..., :7], tgt[..., :7])
     else:
         raise ValueError(f"unknown iou_loss_type {cfg.iou_loss_type!r}")
-    loss_iou = jnp.sum(iou_term * pos) / num_pos * cfg.loss_iou_weight
-    loss_iou = loss_iou + jnp.sum((1.0 - iou_z) * pos) / num_pos
+    # the reference's IoU3DLoss/RDIoULoss collapse the (rows, code) weight
+    # by weight.mean(-1) (rdiouloss.py:150-151, :80-81): positive rows
+    # weigh mean(code_weights), not 1 (all shipped configs use all-ones
+    # code_weights where this is a no-op; exact for custom weights).
+    # The z-IoU and IoU-pred terms use bbox_weights[:, 0] = code_weights[0]
+    # (uni3detr_head.py:691, :696).
+    cw_mean = float(np.mean(cfg.code_weights))
+    cw0 = float(cfg.code_weights[0])
+    loss_iou = jnp.sum(iou_term * pos) / num_pos \
+        * cfg.loss_iou_weight * cw_mean
+    loss_iou = loss_iou + jnp.sum((1.0 - iou_z) * pos) / num_pos * cw0
 
     iou_true = jax.lax.stop_gradient(
         iou3d_rotated_aligned(decoded, tgt, z_origin="bottom"))
     bce = jnp.maximum(iou_preds, 0) - iou_preds * iou_true + jnp.log1p(
         jnp.exp(-jnp.abs(iou_preds)))
-    loss_iou_pred = jnp.sum(bce * pos) / num_pos * 1.2
+    loss_iou_pred = jnp.sum(bce * pos) / num_pos * 1.2 * cw0
 
     out = {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
            "loss_iou": loss_iou, "loss_iou_pred": loss_iou_pred}
