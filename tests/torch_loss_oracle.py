@@ -174,7 +174,7 @@ def focal_cost_t(cls_pred, gt_labels, weight, alpha=0.25, gamma=2.0,
     return (pos[:, gt_labels] - neg[:, gt_labels]) * weight
 
 
-def torch_assign(cls_pred, bbox_pred, gt, gl, cfg):
+def torch_assign(cls_pred, bbox_pred, gt, gl, cfg, return_cost=False):
     """One image: (Q, ncls), (Q, code), (G, 7|9), (G,) -> assigned gt index
     per query (-1 = background). Per-group scipy LSA with gt tiling."""
     norm_gt = normalize_bbox_t(gt)
@@ -192,7 +192,16 @@ def torch_assign(cls_pred, bbox_pred, gt, gl, cfg):
         c = np.tile(cost[g * nq:(g + 1) * nq], (1, cfg.gt_repeattimes))
         r, col = linear_sum_assignment(c)
         assigned[g * nq + r] = col % G
+    if return_cost:
+        return assigned, cost
     return assigned
+
+
+def assignment_total_cost(cost, assigned):
+    """Sum of cost over matched (row, gt) pairs — the objective scipy
+    minimizes (duplicate tiled columns share the original's costs)."""
+    rows = np.nonzero(assigned >= 0)[0]
+    return float(cost[rows, assigned[rows]].sum())
 
 
 # ---------------------------------------------------------------------------
@@ -215,15 +224,22 @@ def soft_focal_t(pred, labels, score, num_classes, avg_factor,
 
 
 def torch_loss_single(cls_scores, bbox_preds, iou_preds, gt_list, gl_list,
-                      cfg):
+                      cfg, assign_override=None):
     """One decoder layer over the batch: (B, Q, .) torch tensors + exact
-    (unpadded) GT lists. Returns (component dict, per-image assignment)."""
+    (unpadded) GT lists. Returns (component dict, per-image assignment).
+
+    ``assign_override``: per-image (Q,) assigned-gt arrays to use instead
+    of this oracle's own matching (the assignment is detached data in the
+    reference too, hungarian_assigner_3d.py:124 — injecting the other
+    implementation's near-tie choice lets the loss math be compared
+    exactly when fp noise flips degenerate matchings)."""
     B, Q, ncls = cls_scores.shape
     code = bbox_preds.shape[-1]
     labels, bbox_targets, bbox_weights, assigns = [], [], [], []
     num_total_pos = 0
     for i in range(B):
-        a = torch_assign(cls_scores[i], bbox_preds[i], gt_list[i],
+        a = assign_override[i] if assign_override is not None else \
+            torch_assign(cls_scores[i], bbox_preds[i], gt_list[i],
                          gl_list[i], cfg)
         pos = a >= 0
         num_total_pos += int(pos.sum())
@@ -291,14 +307,18 @@ def torch_loss_single(cls_scores, bbox_preds, iou_preds, gt_list, gl_list,
             assigns)
 
 
-def torch_loss(all_cls, all_box, all_iou, gt_list, gl_list, cfg):
-    """All decoder layers; returns (total, per-key dict, assignments)."""
+def torch_loss(all_cls, all_box, all_iou, gt_list, gl_list, cfg,
+               assign_overrides=None):
+    """All decoder layers; returns (total, per-key dict, assignments).
+    ``assign_overrides``: per-layer list of per-image assignments."""
     L = all_cls.shape[0]
     logs, assigns = {}, []
     total = torch.zeros(())
     for l in range(L):
-        comps, a = torch_loss_single(all_cls[l], all_box[l], all_iou[l],
-                                     gt_list, gl_list, cfg)
+        comps, a = torch_loss_single(
+            all_cls[l], all_box[l], all_iou[l], gt_list, gl_list, cfg,
+            assign_override=None if assign_overrides is None
+            else assign_overrides[l])
         prefix = "" if l == L - 1 else f"d{l}."
         for k, v in comps.items():
             logs[prefix + k] = v
