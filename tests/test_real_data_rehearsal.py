@@ -175,10 +175,8 @@ def test_rehearse_nuscenes(tmp_path):
     os.makedirs(root, exist_ok=True)
     version = _write_fixture(root)
     out = create_nuscenes_infos(root, version, max_sweeps=2)
-    # all fixture scenes are train scenes; reuse them as the val split
-    val = out.replace("train", "val")
-    if not os.path.exists(val):
-        shutil.copy(out, val)
+    # all fixture scenes land in the train split; reuse them as val
+    shutil.copy(out, out.replace("train", "val"))
     _train_and_test(
         "configs/uni3detr/uni3detr_nuscenes.py", root,
         str(tmp_path / "wd"),

@@ -280,26 +280,39 @@ class ObjectNoise:
 
 @register("LoadPointsFromMultiSweeps")
 class LoadPointsFromMultiSweeps:
-    """Append up to sweeps_num previous lidar sweeps with a time-lag
+    """Merge up to sweeps_num previous lidar sweeps with a time-lag
     channel (nuScenes; reference nuscenes info schema,
-    data_converter/nuscenes_converter.py:218-231)."""
+    data_converter/nuscenes_converter.py:218-231).
 
-    def __init__(self, ctx, sweeps_num=10, load_dim=5, use_dim=(0, 1, 2, 3),
-                 pad_empty_sweeps=True, remove_close=1.0):
+    Reference (mmdet3d LoadPointsFromMultiSweeps) semantics: the raw
+    5th channel (``time_dim``) is OVERWRITTEN — zeroed on the keyframe,
+    set to ``key_ts - sweep_ts`` (seconds) on each sweep — so the shipped
+    use_dim=[0,1,2,3,4] configs produce 5-feature points. When the
+    upstream loader kept fewer channels than ``time_dim + 1`` the lag is
+    appended as a new channel instead (convenience for reduced configs).
+    """
+
+    def __init__(self, ctx, sweeps_num=10, load_dim=5, use_dim=None,
+                 pad_empty_sweeps=True, remove_close=1.0, time_dim=4):
         self.sweeps_num = sweeps_num
         self.load_dim = load_dim
-        self.use_dim = list(use_dim)
+        self.use_dim = None if use_dim is None else list(use_dim)
         self.pad_empty_sweeps = pad_empty_sweeps
         self.remove_close = remove_close
+        self.time_dim = time_dim
 
     def _load(self, path):
         return np.fromfile(path, np.float32).reshape(-1, self.load_dim)
 
     def __call__(self, sample, rng):
         pts = sample["points"]
-        # base sample gets time-lag 0
-        base = np.concatenate(
-            [pts, np.zeros((len(pts), 1), np.float32)], 1)
+        overwrite = pts.shape[1] > self.time_dim
+        if overwrite:
+            base = pts.copy()
+            base[:, self.time_dim] = 0.0
+        else:
+            base = np.concatenate(
+                [pts, np.zeros((len(pts), 1), np.float32)], 1)
         sweeps = sample.get("meta", {}).get("sweeps", [])
         out = [base]
         if not sweeps and self.pad_empty_sweeps:
@@ -313,16 +326,25 @@ class LoadPointsFromMultiSweeps:
                                                   self.sweeps_num,
                                                   replace=False)]
             for sw in chosen:
-                p = self._load(sw["data_path"])[:, self.use_dim]
+                use = self.use_dim if self.use_dim is not None \
+                    else list(range(self.load_dim))
+                p = self._load(sw["data_path"])[:, use]
                 m = np.linalg.norm(p[:, :2], axis=1) > self.remove_close
                 p = p[m]
                 r = np.asarray(sw["sensor2lidar_rotation"], np.float32)
                 t = np.asarray(sw["sensor2lidar_translation"], np.float32)
                 p[:, :3] = p[:, :3] @ r.T + t
-                lag = sample["meta"].get("timestamp", 0) \
-                    - sw.get("timestamp", 0)
-                ts = np.full((len(p), 1), lag * 1e-6, np.float32)
-                out.append(np.concatenate([p, ts], 1))
+                lag = (sample["meta"].get("timestamp", 0)
+                       - sw.get("timestamp", 0)) * 1e-6
+                if p.shape[1] == base.shape[1]:
+                    p[:, self.time_dim] = lag
+                else:
+                    assert p.shape[1] == base.shape[1] - 1, (
+                        f"sweep width {p.shape[1]} does not align with "
+                        f"keyframe width {base.shape[1]}")
+                    ts = np.full((len(p), 1), lag, np.float32)
+                    p = np.concatenate([p, ts], 1)
+                out.append(p)
         sample["points"] = np.concatenate(out)
         return sample
 
