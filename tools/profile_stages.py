@@ -75,8 +75,26 @@ def main():
             v["batch_stats"] = stats[scope]
         return v
 
-    points = lo + span * jax.random.uniform(jax.random.PRNGKey(1),
-                                            (B, P, 3))
+    # clustered planar-patch distribution — the SAME input statistics the
+    # bench measures (bench.py::make_xyz); uniform points leave every
+    # voxel isolated, which mis-states the windowed sparse-conv cost.
+    # Pass ``uniform`` as argv[2] to reproduce the old distribution.
+    if len(sys.argv) > 2 and sys.argv[2] == "uniform":
+        points = lo + span * jax.random.uniform(jax.random.PRNGKey(1),
+                                                (B, P, 3))
+    else:
+        K = 24
+        kc, ka, kn, kq = jax.random.split(jax.random.PRNGKey(1), 4)
+        centers = lo + span * (0.1 + 0.8 * jax.random.uniform(
+            kc, (B, K, 3)))
+        assign = jax.random.randint(ka, (B, P), 0, K)
+        offs = jax.random.normal(kn, (B, P, 3)) * span * 0.02
+        axis = jax.random.randint(kq, (B, K), 0, 3)
+        squash = 1.0 - 0.95 * jax.nn.one_hot(axis, 3)
+        points = jnp.clip(
+            jnp.take_along_axis(centers, assign[..., None], 1)
+            + offs * jnp.take_along_axis(squash, assign[..., None], 1),
+            lo + 1e-4, lo + span - 1e-3)
 
     # ---- stage programs (single-call; timed with chained perturbation)
     def s_voxelize(pts):

@@ -163,27 +163,28 @@ class SparseEncoderHD(nn.Module):
         x = feats.astype(self.compute_dtype)
         on_tpu = jax.default_backend() not in ("cpu",)
 
-        def site_ctx(c, m, g, budget):
+        def site_ctx(c, m, g, budget, n_convs):
             """Per-site-set lookup context, measured dispatch
             (tools/profile_idmatch_stage1.py, TPU v5e):
-            - TPU, id feature table fits VMEM (indoor budgets, V<=~45k):
-              rulebook-FREE id-matching convs (one shared id/qid build
-              per stage; id conv 5.2 ms/conv at V=40k beats matcher
-              7.6 + positional 2.6/conv for the typical 2-conv stage);
-            - TPU, above the VMEM budget (nuScenes 120k): the Pallas
-              position MATCHER builds a classic rulebook by matching
-              query linear ids against the sorted site-id list
-              (ids-only VMEM — fits at ANY stage size; 28.3 ms incl. id
-              build at V=120k vs 42.0 for the XLA position-table
-              pipeline), and every conv of the stage runs on the
-              positional packed kernel (11.1 ms/conv vs 26.9 for the
-              lane-packed id conv) — no dense position table anywhere;
+            - TPU, >= 3 submanifold convs share the site set (every
+              shipped stage: 2 SparseBasicBlocks = 4 convs, +conv_input
+              on stage 1): ONE Pallas position MATCHER builds a classic
+              rulebook by matching query linear ids against the sorted
+              site-id list (ids-only VMEM — fits at ANY stage size;
+              26.6 ms incl. id build at V=120k vs 40.3 for the XLA
+              position-table pipeline), then every conv of the stage
+              runs on the positional packed kernel (10.1 ms/conv vs
+              25.5 for the lane-packed id conv at 120k; 2.6 vs 5.2 at
+              40k) — no dense position table anywhere;
+            - TPU, <= 2 convs on the set and the id feature table fits
+              VMEM: rulebook-FREE id-matching convs (the matcher call
+              doesn't amortize);
             - CPU: dense position table + XLA gather-GEMM."""
             if on_tpu:
                 ids = jax.vmap(linear_ids, in_axes=(0, 0, None))(c, m, g)
                 qids = jax.vmap(subm_query_ids,
                                 in_axes=(0, 0, None))(c, m, g)
-                if idmatch_fits(budget):
+                if idmatch_fits(budget) and n_convs <= 2:
                     return {"ids": ids, "qids": qids,
                             "subm_pack": (ids, qids, qids, ids)}
                 return {"ids": ids, "nb": match_positions(ids, qids,
@@ -201,7 +202,12 @@ class SparseEncoderHD(nn.Module):
             return mod(x, ctx["nb"], m, train)
 
         n_stages = len(self.encoder_channels)
-        ctx = site_ctx(coords, vmask, grid, V)
+        # submanifold convs sharing each stage's site set: 2 per
+        # SparseBasicBlock, +1 for conv_input on stage 1
+        n_subm = [2 * len(blocks[:-1] if i < n_stages - 1 else blocks)
+                  for i, blocks in enumerate(self.encoder_channels)]
+        n_subm[0] += 1
+        ctx = site_ctx(coords, vmask, grid, V, n_subm[0])
         x = subm(_SpConvBNReLU(self.base_channels, name="conv_input"),
                  x, ctx, vmask)
         for i, blocks in enumerate(self.encoder_channels):
@@ -222,7 +228,7 @@ class SparseEncoderHD(nn.Module):
                 new_grid = tuple(
                     (g + 2 * p - 3) // 2 + 1 for g, p in zip(grid, pad))
                 new_ctx = site_ctx(new_coords, new_mask, new_grid,
-                                   budget)
+                                   budget, n_subm[i + 1])
                 conv = _SpConv(blocks[-1], name=f"stage{i+1}_down")
                 if "ids" in ctx and "ids" in new_ctx:
                     sq = jax.vmap(strided_query_ids,
