@@ -214,7 +214,7 @@ class SyntheticDataset:
 
     def __init__(self, pipeline_cfg, class_names, pc_range, length=64,
                  n_points=20000, seed=0, with_camera=False,
-                 img_size=(32, 32), **kw):
+                 img_size=(32, 32), box_size_m=None, **kw):
         self.length = length
         self.n_points = n_points
         self.class_names = list(class_names)
@@ -222,6 +222,11 @@ class SyntheticDataset:
         self.seed = seed
         self.with_camera = with_camera
         self.img_size = tuple(img_size)
+        # absolute box-size range in meters; default scales with the
+        # scene span, which at tiny ranges yields sub-voxel boxes — set
+        # this for configs that must CONVERGE (>=2 voxels per side), not
+        # just smoke-run (VERDICT r3 #6)
+        self.box_size_m = box_size_m
         ctx = dict(pc_range=tuple(pc_range), class_names=self.class_names,
                    data_root="", box_type=kw.get("box_type", "Depth"))
         self.pipeline = build_pipeline(pipeline_cfg, ctx)
@@ -235,7 +240,10 @@ class SyntheticDataset:
         nb = rng.integers(2, 6)
         boxes, labels, pts = [], [], []
         for _ in range(nb):
-            size = rng.uniform(0.3, 1.2, 3) * (hi - lo) / 8
+            if self.box_size_m is not None:
+                size = rng.uniform(*self.box_size_m, 3)
+            else:
+                size = rng.uniform(0.3, 1.2, 3) * (hi - lo) / 8
             ctr = rng.uniform(lo + size, hi - size)
             yaw = rng.uniform(-np.pi, np.pi)
             boxes.append([*(ctr - [0, 0, size[2] / 2]), *size, yaw])
@@ -321,7 +329,8 @@ def build_dataset(data_cfg: dict, class_names, pc_range, split="train"):
                               n_points=data_cfg.get("n_points", 20000),
                               with_camera=data_cfg.get("with_camera",
                                                        False),
-                              img_size=data_cfg.get("img_size", (32, 32)))
+                              img_size=data_cfg.get("img_size", (32, 32)),
+                              box_size_m=data_cfg.get("box_size_m"))
     else:
         ann = data_cfg["ann_train"] if split == "train" \
             else data_cfg["ann_val"]
