@@ -19,10 +19,12 @@ instead of 30 MB). For a tile of T consecutive outputs and offset k the
 valid neighbors live in a narrow packed-row window; an exact one-hot
 (T, WIN) @ (WIN, R*Cp) matmul at full 128-lane MXU width selects the
 packed rows, and an R-way lane-group mask extracts each neighbor's own
-channels. A data-dependent ``while_loop`` walks the window forward so
-density spikes cost extra passes instead of correctness; offsets with
-no valid neighbor in a tile skip all vector work (measured faster
-in-model than shared-walk or unconditional variants).
+channels. A scalar-bounded ``fori_loop`` (trip counts precomputed from
+each tile-offset's min/max neighbor row — no vector-reduce cond, no
+per-pass scalar<->vector sync) walks the window forward so density
+spikes cost extra passes instead of correctness; offsets with no valid
+neighbor in a tile skip all vector work (measured faster in-model than
+shared-walk or unconditional variants).
 
 The backward also runs on these kernels: for submanifold rulebooks the
 neighbor relation is symmetric (``n(v, k) = u  <=>  n(u, K-1-k) = v``),
@@ -62,7 +64,7 @@ def pallas_fits(V: int, C: int, budget_bytes: int = 12 * 2 ** 20) -> bool:
     ~3.8 MB. Callers fall back to the XLA gather above the budget."""
     Cp = _cpad(C)
     R = 128 // Cp
-    VpP = max(-(-(V + 1) // (16 * R)) * 16, WIN)
+    VpP = max(-(-(V + 1) // (16 * R)) * 16, WIN) + _win_rows(R)
     scratch = TILE * 27 * Cp * 2
     return VpP * 256 + scratch <= budget_bytes
 
@@ -88,58 +90,59 @@ def _win_rows(R: int) -> int:
     return max(128, -(-(TILE // R + 64) // 128) * 128)
 
 
-def _walk(colp, valid_k, w0, src_ref, VpP, on_pass, win: int = WIN):
-    """Shared window-walk scaffolding for one offset column.
-
-    colp (T, 1) packed-row indices (-1 for invalid); w0 packed-row start
-    (SMEM scalar); calls ``on_pass(g_packed)`` with the exact packed-row
-    one-hot gather of each pass. Window starts are 16-aligned (bf16
-    sublane granularity for dynamic VMEM slices; VpP % 16 == 0 keeps
-    the clamp aligned)."""
+def _walk(colp, w0, trips, src_ref, on_pass, win):
+    """Window scan for one offset column: pass i covers the DISJOINT
+    packed-row window [covered0 + i*win, covered0 + (i+1)*win) — the
+    feature table is padded by one extra window of zero rows so no
+    end-clamp is needed, the accept test collapses to a single compare
+    (a dummy/invalid colp can only hit zero pad rows, adding 0), and the
+    fori body carries no loop state, so Mosaic can pipeline passes.
+    ``w0``/``trips`` are SMEM scalars precomputed in ``_pack_inputs`` /
+    ``_row_info``; the scalar-bounded loop replaced a data-dependent
+    ``while_loop`` whose per-pass vector-reduce cond + sync dominated.
+    Window starts are 16-aligned (bf16 sublane granularity for dynamic
+    VMEM slices)."""
     T = colp.shape[0]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, win), 1)
     covered0 = (jnp.maximum(w0, 0) // 16) * 16
 
-    def cond(covered):
-        return jnp.any(valid_k & (colp >= covered))
-
-    def body(covered):
-        base = jnp.minimum(covered, VpP - win)
-        base = pl.multiple_of(base, 16)
+    def body(i, carry):
+        base = pl.multiple_of(covered0 + i * win, 16)
         window = src_ref[0, pl.ds(base, win), :]   # (win, R*Cp)
-        accept = valid_k & (colp >= covered) & (colp < base + win)
-        onehot = (accept & (colp - base == col_iota)).astype(
-            src_ref.dtype)
+        onehot = (colp - base == col_iota).astype(src_ref.dtype)
         g_packed = jax.lax.dot_general(
             onehot, window, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         on_pass(g_packed)
-        return base + win
+        return carry
 
-    jax.lax.while_loop(cond, body, covered0)
+    jax.lax.fori_loop(0, trips, body, 0)
 
 
-def _kernel_packed(starts_ref, idx_ref, src_ref, w_ref, out_ref, g_ref, *,
-            K, v_dummy, R, Cp):
+def _kernel_packed(info_ref, idx_ref, src_ref, w_ref, out_ref, g_ref, *,
+            K, v_dummy, R, Cp, NT):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    VpP = src_ref.shape[1]
     ids = idx_ref[0]               # (T, K) int32
     g_ref[:] = jnp.zeros_like(g_ref)
+    base_i = (b * n_tiles + t) * K
+    win = _win_rows(R)
     for k in range(K):
         col = ids[:, k:k + 1]
-        valid = col != v_dummy
-        colp = jnp.where(valid, col // R, -1)
+        # dummy col = v_dummy maps to an all-zero pad row: matching it
+        # adds 0, so no validity mask is needed anywhere
+        colp = col // R
         lane_grp = col % R
-        w0 = starts_ref[(b * n_tiles + t) * K + k]
 
         def on_pass(g_packed, k=k, lane_grp=lane_grp):
             g = _select_group(g_packed, lane_grp, R, Cp)
             # exact: each accepted row sums exactly one bf16 value
             g_ref[:, k * Cp:(k + 1) * Cp] += g.astype(g_ref.dtype)
 
-        _walk(colp, valid, w0, src_ref, VpP, on_pass, _win_rows(R))
+        _walk(colp, info_ref[base_i + k], info_ref[NT + base_i + k],
+              src_ref, on_pass, win)
+
     # one fused (T, K*Cp) @ (K*Cp, Cout) MXU matmul per tile
     out_ref[0] = jax.lax.dot_general(
         g_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
@@ -154,8 +157,9 @@ def _pack_inputs(features, neighbor_idx):
     Cp = _cpad(C)
     R = 128 // Cp
     # dummy row at index V; pad so packed rows are a multiple of 16 and
-    # >= the walk window
-    VpP = max(-(-(V + 1) // (16 * R)) * 16, _win_rows(R))
+    # >= the walk window, plus ONE EXTRA WINDOW of zero rows so _walk's
+    # disjoint windows never need an end clamp
+    VpP = max(-(-(V + 1) // (16 * R)) * 16, _win_rows(R)) + _win_rows(R)
     Vp = VpP * R
     feats = jnp.concatenate(
         [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
@@ -168,12 +172,20 @@ def _pack_inputs(features, neighbor_idx):
     idx = jnp.concatenate(
         [neighbor_idx,
          jnp.full((B, pad_rows, K), V, jnp.int32)], axis=1)
-    # per-(batch, tile, offset) packed window start
+    # per-(batch, tile, offset) packed window start + pass count (the
+    # kernels' fori_loop trip bound — see _walk)
     tiled = idx.reshape(B, n_tiles, TILE, K)
     big = jnp.where(tiled == V, jnp.iinfo(jnp.int32).max, tiled // R)
     starts = jnp.min(big, axis=2).reshape(-1)
     starts = jnp.where(starts == jnp.iinfo(jnp.int32).max, 0, starts)
-    return packed, idx, starts, n_tiles, Cp, R, VpP
+    ends = jnp.max(jnp.where(tiled == V, -1, tiled // R),
+                   axis=2).reshape(-1)
+    win = _win_rows(R)
+    covered0 = (starts // 16) * 16
+    trips = jnp.where(ends >= 0,
+                      (ends + 1 - covered0 + win - 1) // win, 0)
+    info = jnp.concatenate([starts, trips])
+    return packed, idx, info, n_tiles, Cp, R, VpP
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -186,7 +198,7 @@ def _raw_packed(features, neighbor_idx, weights,
     _, Vout, K = neighbor_idx.shape
     Cout = weights.shape[-1]
     dtype = features.dtype
-    packed, idx, starts, n_tiles, Cp, R, VpP = _pack_inputs(
+    packed, idx, info, n_tiles, Cp, R, VpP = _pack_inputs(
         features, neighbor_idx)
     w = weights
     if Cp > C:
@@ -208,36 +220,37 @@ def _raw_packed(features, neighbor_idx, weights,
         scratch_shapes=[pltpu.VMEM((TILE, K * Cp), dtype)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_packed, K=K, v_dummy=V, R=R, Cp=Cp),
+        functools.partial(_kernel_packed, K=K, v_dummy=V, R=R, Cp=Cp,
+                          NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
         interpret=interpret,
-    )(starts, idx, packed, w.reshape(K * Cp, Cout).astype(dtype))
+    )(info, idx, packed, w.reshape(K * Cp, Cout).astype(dtype))
     return out[:, :Vout]
 
 
-def _gather_rows_kernel_packed(starts_ref, idx_ref, src_ref, out_ref, *, K,
-                        v_dummy, R, Cp):
+def _gather_rows_kernel_packed(info_ref, idx_ref, src_ref, out_ref, *, K,
+                        v_dummy, R, Cp, NT):
     """Weights-free variant: materialize the gathered rows (T, K*Cp)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    VpP = src_ref.shape[1]
     ids = idx_ref[0]
     out_ref[0] = jnp.zeros_like(out_ref[0])
+    base_i = (b * n_tiles + t) * K
+    win = _win_rows(R)
     for k in range(K):
         col = ids[:, k:k + 1]
-        valid = col != v_dummy
-        colp = jnp.where(valid, col // R, -1)
+        colp = col // R
         lane_grp = col % R
-        w0 = starts_ref[(b * n_tiles + t) * K + k]
 
         def on_pass(g_packed, k=k, lane_grp=lane_grp):
             g = _select_group(g_packed, lane_grp, R, Cp)
             out_ref[0, :, k * Cp:(k + 1) * Cp] += g.astype(
                 out_ref.dtype)
 
-        _walk(colp, valid, w0, src_ref, VpP, on_pass, _win_rows(R))
+        _walk(colp, info_ref[base_i + k], info_ref[NT + base_i + k],
+              src_ref, on_pass, win)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -246,7 +259,7 @@ def _rows_packed(features, neighbor_idx, interpret: bool = False):
     B, V, C = features.shape
     _, Vout, K = neighbor_idx.shape
     dtype = features.dtype
-    packed, idx, starts, n_tiles, Cp, R, VpP = _pack_inputs(
+    packed, idx, info, n_tiles, Cp, R, VpP = _pack_inputs(
         features, neighbor_idx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -263,12 +276,12 @@ def _rows_packed(features, neighbor_idx, interpret: bool = False):
     )
     out = pl.pallas_call(
         functools.partial(_gather_rows_kernel_packed, K=K, v_dummy=V, R=R,
-                          Cp=Cp),
+                          Cp=Cp, NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * Cp),
                                        dtype),
         interpret=interpret,
-    )(starts, idx, packed)
+    )(info, idx, packed)
     out = out[:, :Vout]
     if Cp > C:
         out = out.reshape(B, Vout, K, Cp)[..., :C].reshape(
@@ -278,7 +291,23 @@ def _rows_packed(features, neighbor_idx, interpret: bool = False):
 
 
 
-def _kernel_unpacked(starts_ref, idx_ref, src_ref, w_ref, out_ref, *, K, v_dummy):
+def _row_info(idx, V, B, n_tiles, K):
+    """Per-(batch, tile, offset) raw-row window start + pass count for
+    the unpacked kernels (win = WIN rows; see _pack_inputs for the
+    packed-row analogue)."""
+    tiled = idx.reshape(B, n_tiles, TILE, K)
+    big = jnp.where(tiled == V, jnp.iinfo(jnp.int32).max, tiled)
+    starts = jnp.min(big, axis=2).reshape(-1)        # (B*n_tiles*K,)
+    starts = jnp.where(starts == jnp.iinfo(jnp.int32).max, 0, starts)
+    ends = jnp.max(jnp.where(tiled == V, -1, tiled), axis=2).reshape(-1)
+    covered0 = (starts // 16) * 16
+    trips = jnp.where(ends >= 0,
+                      (ends + 1 - covered0 + WIN - 1) // WIN, 0)
+    return jnp.concatenate([starts, trips])
+
+
+def _kernel_unpacked(info_ref, idx_ref, src_ref, w_ref, out_ref, *, K,
+                     v_dummy, NT):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -287,41 +316,27 @@ def _kernel_unpacked(starts_ref, idx_ref, src_ref, w_ref, out_ref, *, K, v_dummy
     Cout = out_ref.shape[-1]
     ids = idx_ref[0]               # (T, K) int32
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN), 1)
+    base_i = (b * n_tiles + t) * K
+    # disjoint windows (see _walk): a dummy col hits only the zero
+    # dummy/pad rows, adding 0 — single-compare accept, no loop state
     acc = jnp.zeros((T, Cout), jnp.float32)
-    # one window walk PER OFFSET: most offsets have no valid neighbor in
-    # a tile at real occupancies, and their while_loop exits before doing
-    # any vector work — measured faster in-model than a shared walk or
-    # unconditional variants (which pay 27 one-hot matmuls per pass)
     for k in range(K):
         col = ids[:, k:k + 1]                      # (T, 1)
-        valid = col != v_dummy
-        w0 = starts_ref[(b * n_tiles + t) * K + k]  # SMEM scalar
-        # 16-aligned window starts (bf16 sublane granularity for dynamic
-        # VMEM slices)
-        covered0 = (jnp.maximum(w0, 0) // 16) * 16
+        covered0 = (jnp.maximum(info_ref[base_i + k], 0) // 16) * 16
 
-        def cond(state):
-            covered, _ = state
-            return jnp.any(valid & (col >= covered))
-
-        def body(state):
-            covered, acc = state
-            base = jnp.minimum(covered, Vp - WIN)  # Vp % 16 == 0: aligned
-            base = pl.multiple_of(base, 16)
-            window = src_ref[0, pl.ds(base, WIN), :]  # (WIN, C)
-            accept = valid & (col >= covered) & (col < base + WIN)
-            rel = col - base
-            onehot = (accept & (rel == col_iota)).astype(src_ref.dtype)
+        def body(i, a, col=col, covered0=covered0, k=k):
+            base = pl.multiple_of(covered0 + i * WIN, 16)
+            window = src_ref[0, pl.ds(base, WIN), :]   # (WIN, C)
+            onehot = (col - base == col_iota).astype(src_ref.dtype)
             g = jax.lax.dot_general(
                 onehot, window, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            g = g.astype(src_ref.dtype)            # exact: one term per row
-            acc = acc + jax.lax.dot_general(
+            g = g.astype(src_ref.dtype)            # exact: one term/row
+            return a + jax.lax.dot_general(
                 g, w_ref[k], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return base + WIN, acc
 
-        _, acc = jax.lax.while_loop(cond, body, (covered0, acc))
+        acc = jax.lax.fori_loop(0, info_ref[NT + base_i + k], body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -337,7 +352,7 @@ def _raw_unpacked(features, neighbor_idx, weights,
     dtype = features.dtype
     # dummy row at index V; then pad rows so Vp is a multiple of 16 and
     # >= WIN (keeps every clamped window start 16-aligned and in range)
-    Vp = max(-(-(V + 1) // 16) * 16, WIN)
+    Vp = max(-(-(V + 1) // 16) * 16, WIN) + WIN
     padded = jnp.concatenate(
         [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
     n_tiles = -(-Vout // TILE)
@@ -345,11 +360,7 @@ def _raw_unpacked(features, neighbor_idx, weights,
     idx = jnp.concatenate(
         [neighbor_idx,
          jnp.full((B, pad_rows, K), V, jnp.int32)], axis=1)  # dummies
-    # per-(batch, tile, offset) window start: min valid neighbor row
-    tiled = idx.reshape(B, n_tiles, TILE, K)
-    big = jnp.where(tiled == V, jnp.iinfo(jnp.int32).max, tiled)
-    starts = jnp.min(big, axis=2).reshape(-1)        # (B*n_tiles*K,)
-    starts = jnp.where(starts == jnp.iinfo(jnp.int32).max, 0, starts)
+    info = _row_info(idx, V, B, n_tiles, K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -366,16 +377,17 @@ def _raw_unpacked(features, neighbor_idx, weights,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_unpacked, K=K, v_dummy=V),
+        functools.partial(_kernel_unpacked, K=K, v_dummy=V,
+                          NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
         interpret=interpret,
-    )(starts, idx, padded, weights.astype(dtype))
+    )(info, idx, padded, weights.astype(dtype))
     return out[:, :Vout]
 
 
-def _gather_rows_kernel_unpacked(starts_ref, idx_ref, src_ref, out_ref, *, K,
-                        v_dummy):
+def _gather_rows_kernel_unpacked(info_ref, idx_ref, src_ref, out_ref, *,
+                        K, v_dummy, NT):
     """Weights-free variant: materialize the gathered rows (T, K*C)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -385,29 +397,22 @@ def _gather_rows_kernel_unpacked(starts_ref, idx_ref, src_ref, out_ref, *, K,
     ids = idx_ref[0]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN), 1)
     out_ref[0] = jnp.zeros((T, K * C), out_ref.dtype)
+    base_i = (b * n_tiles + t) * K
     for k in range(K):
         col = ids[:, k:k + 1]
-        valid = col != v_dummy
-        w0 = starts_ref[(b * n_tiles + t) * K + k]
-        covered0 = (jnp.maximum(w0, 0) // 16) * 16
+        covered0 = (jnp.maximum(info_ref[base_i + k], 0) // 16) * 16
 
-        def cond(covered):
-            return jnp.any(valid & (col >= covered))
-
-        def body(covered):
-            base = jnp.minimum(covered, Vp - WIN)
-            base = pl.multiple_of(base, 16)
+        def body(i, carry, col=col, covered0=covered0, k=k):
+            base = pl.multiple_of(covered0 + i * WIN, 16)
             window = src_ref[0, pl.ds(base, WIN), :]
-            accept = valid & (col >= covered) & (col < base + WIN)
-            rel = col - base
-            onehot = (accept & (rel == col_iota)).astype(src_ref.dtype)
+            onehot = (col - base == col_iota).astype(src_ref.dtype)
             g = jax.lax.dot_general(
                 onehot, window, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[0, :, k * C:(k + 1) * C] += g.astype(out_ref.dtype)
-            return base + WIN
+            return carry
 
-        jax.lax.while_loop(cond, body, covered0)
+        jax.lax.fori_loop(0, info_ref[NT + base_i + k], body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -416,17 +421,14 @@ def _rows_unpacked(features, neighbor_idx, interpret: bool = False):
     B, V, C = features.shape
     _, Vout, K = neighbor_idx.shape
     dtype = features.dtype
-    Vp = max(-(-(V + 1) // 16) * 16, WIN)
+    Vp = max(-(-(V + 1) // 16) * 16, WIN) + WIN
     padded = jnp.concatenate(
         [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
     n_tiles = -(-Vout // TILE)
     pad_rows = n_tiles * TILE - Vout
     idx = jnp.concatenate(
         [neighbor_idx, jnp.full((B, pad_rows, K), V, jnp.int32)], axis=1)
-    tiled = idx.reshape(B, n_tiles, TILE, K)
-    big = jnp.where(tiled == V, jnp.iinfo(jnp.int32).max, tiled)
-    starts = jnp.min(big, axis=2).reshape(-1)
-    starts = jnp.where(starts == jnp.iinfo(jnp.int32).max, 0, starts)
+    info = _row_info(idx, V, B, n_tiles, K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_tiles),
@@ -441,18 +443,19 @@ def _rows_unpacked(features, neighbor_idx, interpret: bool = False):
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_gather_rows_kernel_unpacked, K=K, v_dummy=V),
+        functools.partial(_gather_rows_kernel_unpacked, K=K, v_dummy=V,
+                          NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * C), dtype),
         interpret=interpret,
-    )(starts, idx, padded)
+    )(info, idx, padded)
     return out[:, :Vout]
 
 
 def _unpacked_fits(V: int, budget_bytes: int = 12 * 2 ** 20) -> bool:
     """The unpacked kernel's resident table costs Vp * 256 bytes (the
     (V, C) layout pads to 128 lanes under (8,128) tiling)."""
-    Vp = max(-(-(V + 1) // 16) * 16, WIN)
+    Vp = max(-(-(V + 1) // 16) * 16, WIN) + WIN
     return Vp * 256 <= budget_bytes
 
 
@@ -494,78 +497,102 @@ def _accept_block(q, valid, idblk):
         axis=1)
 
 
-def _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin, dtype):
-    """Walk id windows for one offset column; returns the gathered rows
-    g (T, Cin) f32. q (T, 1) int32 query ids (-1 invalid)."""
-    T = q.shape[0]
-    Vp = src_ref.shape[1]
-    n_win = Vp // WIN_ID
-    qmax = jnp.max(jnp.where(valid, q, -1))
-    start = jnp.minimum(carry_ref[k], n_win - 1)
+def _id_window_trips(ids, qp, n_win):
+    """Per-(batch, tile, offset) id-window coverage, precomputed in XLA.
 
-    def cond(s):
-        return jnp.logical_not(s[2])
+    ids (B, Vp) sorted linear ids (INT_MAX pads), Vp % WIN_ID == 0;
+    qp (B, n_tiles*TILE, K) query ids (-1 = missing). Window w holds the
+    sorted ids at positions [w*WIN_ID, (w+1)*WIN_ID); every match for a
+    tile's offset-k queries lies in the windows whose [first, last] id
+    range intersects [min qid, max qid] — found here by two tiny
+    broadcast compares against the window id bounds (n_win is ~V/1024).
+    Returns ``info`` (2 * B*n_tiles*K,) int32 — first half window
+    starts, second half trip counts — consumed from SMEM by scalar
+    ``fori_loop``s in the kernels. This replaces the data-dependent
+    ``while_loop`` walk whose per-pass vector-reduce cond (+ the qmax /
+    idblk-max reduces and the scalar<->vector sync each pass) dominated
+    the matcher and id-conv time at production shapes."""
+    B, _ = ids.shape
+    _, Vq, K = qp.shape
+    n_tiles = Vq // TILE
+    blk = ids.reshape(B, n_win, WIN_ID)
+    wmin = blk[:, :, 0]                                  # (B, n_win)
+    wmax = blk[:, :, -1]
+    qt = qp.reshape(B, n_tiles, TILE, K)
+    valid = qt >= 0
+    big = jnp.iinfo(jnp.int32).max
+    qmin = jnp.min(jnp.where(valid, qt, big), axis=2)    # (B, nt, K)
+    qmax = jnp.max(jnp.where(valid, qt, -1), axis=2)
+    below = jnp.sum(wmax[:, None, :, None] < qmin[:, :, None, :],
+                    axis=2, dtype=jnp.int32)             # (B, nt, K)
+    above = jnp.sum(wmin[:, None, :, None] > qmax[:, :, None, :],
+                    axis=2, dtype=jnp.int32)
+    win0 = jnp.minimum(below, n_win - 1)
+    trips = jnp.maximum(n_win - above - below, 0)
+    trips = jnp.where(jnp.any(valid, axis=2), trips, 0)
+    return jnp.concatenate([win0.reshape(-1), trips.reshape(-1)])
 
-    def body(s):
-        win_i, _, _, g = s
-        rbase = pl.multiple_of(win_i * ROWS_ID, 8)
-        idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]       # (8, 128)
-        fbase = pl.multiple_of(win_i * WIN_ID, 16)
-        fwin = src_ref[0, pl.ds(fbase, WIN_ID), :]         # (WIN_ID, C)
-        accept = _accept_block(q, valid, idblk)            # (T, WIN_ID)
-        g = g + jax.lax.dot_general(
-            accept.astype(src_ref.dtype), fwin,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        done = (jnp.max(idblk) >= qmax) | (win_i + 1 >= n_win)
-        return win_i + 1, win_i, done, g
 
-    init = (start, start, jnp.logical_not(jnp.any(valid)),
-            jnp.zeros((T, Cin), jnp.float32))
-    _, last, _, g = jax.lax.while_loop(cond, body, init)
-    carry_ref[k] = last
-    return g
+def _idmatch_pass(q, valid, ids_ref, src_ref, win_i):
+    """ONE id-window pass for one offset column: gathered rows of the
+    queries whose ids match window ``win_i``'s sorted ids, (T, C) f32.
+    q (T, 1) int32 query ids (-1 invalid)."""
+    rbase = pl.multiple_of(win_i * ROWS_ID, 8)
+    idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]       # (8, 128)
+    fbase = pl.multiple_of(win_i * WIN_ID, 16)
+    fwin = src_ref[0, pl.ds(fbase, WIN_ID), :]         # (WIN_ID, C)
+    accept = _accept_block(q, valid, idblk)            # (T, WIN_ID)
+    return jax.lax.dot_general(
+        accept.astype(src_ref.dtype), fwin,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
-def _kernel_idmatch(qids_ref, ids_ref, src_ref, w_ref, out_ref,
-                    carry_ref, *, K):
+def _kernel_idmatch(info_ref, qids_ref, ids_ref, src_ref, w_ref, out_ref,
+                    *, K, NT):
+    b = pl.program_id(0)
     t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    base = (b * n_tiles + t) * K
     T = qids_ref.shape[1]
-    Cin = src_ref.shape[2]
     Cout = out_ref.shape[-1]
-
-    @pl.when(t == 0)
-    def _reset():
-        for k in range(K):
-            carry_ref[k] = 0
-
     acc = jnp.zeros((T, Cout), jnp.float32)
     for k in range(K):
         q = qids_ref[0, :, k:k + 1]
         valid = q >= 0
-        g = _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin,
-                          src_ref.dtype)
+        win0 = info_ref[base + k]
+
+        def body(i, g, q=q, valid=valid, win0=win0):
+            return g + _idmatch_pass(q, valid, ids_ref, src_ref,
+                                     win0 + i)
+
+        g = jax.lax.fori_loop(0, info_ref[NT + base + k], body,
+                              jnp.zeros((T, src_ref.shape[2]),
+                                        jnp.float32))
         acc = acc + jax.lax.dot_general(
             g.astype(src_ref.dtype), w_ref[k],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _rows_kernel_idmatch(qids_ref, ids_ref, src_ref, out_ref, carry_ref,
-                         *, K):
+def _rows_kernel_idmatch(info_ref, qids_ref, ids_ref, src_ref, out_ref,
+                         *, K, NT):
+    b = pl.program_id(0)
     t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    base = (b * n_tiles + t) * K
     Cin = src_ref.shape[2]
-
-    @pl.when(t == 0)
-    def _reset():
-        for k in range(K):
-            carry_ref[k] = 0
-
+    T = qids_ref.shape[1]
     for k in range(K):
         q = qids_ref[0, :, k:k + 1]
         valid = q >= 0
-        g = _idmatch_walk(q, valid, ids_ref, src_ref, carry_ref, k, Cin,
-                          src_ref.dtype)
+        win0 = info_ref[base + k]
+
+        def body(i, g, q=q, valid=valid, win0=win0):
+            return g + _idmatch_pass(q, valid, ids_ref, src_ref,
+                                     win0 + i)
+
+        g = jax.lax.fori_loop(0, info_ref[NT + base + k], body,
+                              jnp.zeros((T, Cin), jnp.float32))
         out_ref[0, :, k * Cin:(k + 1) * Cin] = g.astype(out_ref.dtype)
 
 
@@ -579,51 +606,36 @@ def idmatch_packed_fits(V: int, C: int,
     return Vp * 256 // R + Vp * 4 + TILE * 27 * 4 <= budget_bytes
 
 
-def _idmatch_walk_packed(q, valid, ids_ref, src_ref, carry_ref, k, R, Cp,
+def _idmatch_pass_packed(q, valid, ids_ref, src_ref, win_i, R, Cp,
                          dtype, condense, grp_iota):
-    """Packed-feature variant of the id walk: features are lane-packed
-    (R rows per 128-lane VMEM row); ids stay one-per-lane. The full
-    (T, WIN_ID) accept mask is condensed to a packed-row one-hot by one
-    constant block-sum matmul (``condense``, column c -> packed row
-    c // R) and the matched lane group (= matched column mod R, <=1
-    match per query over the whole walk) is accumulated as a masked
-    reduction of ``grp_iota``. Returns g (T, Cp) f32 — each query's own
-    channels."""
-    T = q.shape[0]
-    VpP = src_ref.shape[1]              # packed rows
-    n_win = (VpP * R) // WIN_ID
+    """ONE id-window pass, packed-feature variant: features are
+    lane-packed (R rows per 128-lane VMEM row); ids stay one-per-lane.
+    The full (T, WIN_ID) accept mask is condensed to a packed-row
+    one-hot by one constant block-sum matmul (``condense``, column c ->
+    packed row c // R) and the matched lane group (= matched column mod
+    R, <=1 match per query over the whole walk) comes from a masked
+    reduction of ``grp_iota``. Returns (g (T, R*Cp) f32, grp (T, 1))."""
     rows_per_win = WIN_ID // R          # packed rows per window
-    qmax = jnp.max(jnp.where(valid, q, -1))
-    start = jnp.minimum(carry_ref[k], n_win - 1)
+    rbase = pl.multiple_of(win_i * ROWS_ID, 8)
+    idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]      # (8, 128)
+    pbase = pl.multiple_of(win_i * rows_per_win, 16)
+    fwin = src_ref[0, pl.ds(pbase, rows_per_win), :]  # (.., R*Cp)
+    accept = _accept_block(q, valid, idblk)           # (T, WIN_ID)
+    onehot_p = jax.lax.dot_general(
+        accept.astype(dtype), condense, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    g = jax.lax.dot_general(
+        onehot_p, fwin, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (T, R*Cp)
+    grp = jnp.sum(jnp.where(accept, grp_iota, 0), axis=1, keepdims=True)
+    return g, grp
 
-    def cond(s):
-        return jnp.logical_not(s[2])
 
-    def body(s):
-        win_i, _, _, g, grp_acc = s
-        rbase = pl.multiple_of(win_i * ROWS_ID, 8)
-        idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]      # (8, 128)
-        pbase = pl.multiple_of(win_i * rows_per_win, 16)
-        fwin = src_ref[0, pl.ds(pbase, rows_per_win), :]  # (.., R*Cp)
-        accept = _accept_block(q, valid, idblk)           # (T, WIN_ID)
-        onehot_p = jax.lax.dot_general(
-            accept.astype(dtype), condense, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype)
-        g = g + jax.lax.dot_general(
-            onehot_p, fwin, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (T, R*Cp)
-        grp_acc = grp_acc + jnp.sum(
-            jnp.where(accept, grp_iota, 0), axis=1, keepdims=True)
-        done = (jnp.max(idblk) >= qmax) | (win_i + 1 >= n_win)
-        return win_i + 1, win_i, done, g, grp_acc
-
-    init = (start, start, jnp.logical_not(jnp.any(valid)),
-            jnp.zeros((T, R * Cp), jnp.float32),
-            jnp.zeros((T, 1), jnp.int32))
-    _, last, _, g, grp = jax.lax.while_loop(cond, body, init)
-    carry_ref[k] = last
-    # extract each query's own lane group
-    out = jnp.zeros((T, Cp), jnp.float32)
+def _extract_grp(g, grp, R, Cp):
+    """(T, R*Cp) packed gather + (T, 1) matched lane group -> (T, Cp)
+    each query's own channels (unmatched rows are all-zero in g, so any
+    group reads 0)."""
+    out = jnp.zeros((g.shape[0], Cp), jnp.float32)
     for r in range(R):
         out = jnp.where(grp == r, g[:, r * Cp:(r + 1) * Cp], out)
     return out
@@ -642,49 +654,64 @@ def _packed_walk_consts(T, R, Cp, dtype):
     return condense, grp_iota
 
 
-def _kernel_idmatch_packed(qids_ref, ids_ref, src_ref, w_ref, out_ref,
-                           carry_ref, *, K, R, Cp):
+def _kernel_idmatch_packed(info_ref, qids_ref, ids_ref, src_ref, w_ref,
+                           out_ref, *, K, R, Cp, NT):
+    b = pl.program_id(0)
     t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    base = (b * n_tiles + t) * K
     T = qids_ref.shape[1]
     Cout = out_ref.shape[-1]
-
-    @pl.when(t == 0)
-    def _reset():
-        for k in range(K):
-            carry_ref[k] = 0
-
     condense, grp_iota = _packed_walk_consts(T, R, Cp, src_ref.dtype)
     acc = jnp.zeros((T, Cout), jnp.float32)
     for k in range(K):
         q = qids_ref[0, :, k:k + 1]
         valid = q >= 0
-        g = _idmatch_walk_packed(q, valid, ids_ref, src_ref, carry_ref,
-                                 k, R, Cp, src_ref.dtype, condense,
-                                 grp_iota)
+        win0 = info_ref[base + k]
+
+        def body(i, s, q=q, valid=valid, win0=win0):
+            g, grp = s
+            g1, grp1 = _idmatch_pass_packed(
+                q, valid, ids_ref, src_ref, win0 + i, R, Cp,
+                src_ref.dtype, condense, grp_iota)
+            return g + g1, grp + grp1
+
+        g, grp = jax.lax.fori_loop(
+            0, info_ref[NT + base + k], body,
+            (jnp.zeros((T, R * Cp), jnp.float32),
+             jnp.zeros((T, 1), jnp.int32)))
         acc = acc + jax.lax.dot_general(
-            g.astype(src_ref.dtype), w_ref[k],
+            _extract_grp(g, grp, R, Cp).astype(src_ref.dtype), w_ref[k],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _rows_kernel_idmatch_packed(qids_ref, ids_ref, src_ref, out_ref,
-                                carry_ref, *, K, R, Cp):
+def _rows_kernel_idmatch_packed(info_ref, qids_ref, ids_ref, src_ref,
+                                out_ref, *, K, R, Cp, NT):
+    b = pl.program_id(0)
     t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    base = (b * n_tiles + t) * K
     T = qids_ref.shape[1]
-
-    @pl.when(t == 0)
-    def _reset():
-        for k in range(K):
-            carry_ref[k] = 0
-
     condense, grp_iota = _packed_walk_consts(T, R, Cp, src_ref.dtype)
     for k in range(K):
         q = qids_ref[0, :, k:k + 1]
         valid = q >= 0
-        g = _idmatch_walk_packed(q, valid, ids_ref, src_ref, carry_ref,
-                                 k, R, Cp, src_ref.dtype, condense,
-                                 grp_iota)
-        out_ref[0, :, k * Cp:(k + 1) * Cp] = g.astype(out_ref.dtype)
+        win0 = info_ref[base + k]
+
+        def body(i, s, q=q, valid=valid, win0=win0):
+            g, grp = s
+            g1, grp1 = _idmatch_pass_packed(
+                q, valid, ids_ref, src_ref, win0 + i, R, Cp,
+                src_ref.dtype, condense, grp_iota)
+            return g + g1, grp + grp1
+
+        g, grp = jax.lax.fori_loop(
+            0, info_ref[NT + base + k], body,
+            (jnp.zeros((T, R * Cp), jnp.float32),
+             jnp.zeros((T, 1), jnp.int32)))
+        out_ref[0, :, k * Cp:(k + 1) * Cp] = _extract_grp(
+            g, grp, R, Cp).astype(out_ref.dtype)
 
 
 def _pack_idmatch_packed(features, site_ids, qids):
@@ -709,7 +736,8 @@ def _pack_idmatch_packed(features, site_ids, qids):
     qp = jnp.concatenate(
         [qids, jnp.full((B, n_tiles * TILE - Vout, K), -1, jnp.int32)],
         axis=1)
-    return packed, ids_blk, qp, n_tiles, Vp, Cp, R
+    info = _id_window_trips(ids, qp, Vp // WIN_ID)
+    return packed, ids_blk, qp, info, n_tiles, Vp, Cp, R
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -720,35 +748,36 @@ def _raw_idmatch_packed(features, site_ids, qids, weights,
     _, Vout, K = qids.shape
     Cout = weights.shape[-1]
     dtype = features.dtype
-    packed, ids_blk, qp, n_tiles, Vp, Cp, R = _pack_idmatch_packed(
+    packed, ids_blk, qp, info, n_tiles, Vp, Cp, R = _pack_idmatch_packed(
         features, site_ids, qids)
     w = weights
     if Cp > C:
         w = jnp.concatenate(
             [w, jnp.zeros((K, Cp - C, Cout), w.dtype)], axis=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp // R, R * Cp), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp // R, R * Cp), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, Cp, Cout), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((K, Cp, Cout), lambda b, t, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, Cout), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TILE, Cout),
+                               lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_idmatch_packed, K=K, R=R, Cp=Cp),
+        functools.partial(_kernel_idmatch_packed, K=K, R=R, Cp=Cp,
+                          NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
         interpret=interpret,
-    )(qp, ids_blk, packed, w.astype(dtype))
+    )(info, qp, ids_blk, packed, w.astype(dtype))
     return out[:, :Vout]
 
 
@@ -757,31 +786,31 @@ def _rows_idmatch_packed(features, site_ids, qids, interpret=False):
     B, V, C = features.shape
     _, Vout, K = qids.shape
     dtype = features.dtype
-    packed, ids_blk, qp, n_tiles, Vp, Cp, R = _pack_idmatch_packed(
+    packed, ids_blk, qp, info, n_tiles, Vp, Cp, R = _pack_idmatch_packed(
         features, site_ids, qids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp // R, R * Cp), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp // R, R * Cp), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE, K * Cp),
-                               lambda b, t: (b, t, 0),
+                               lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
     )
     out = pl.pallas_call(
-        functools.partial(_rows_kernel_idmatch_packed, K=K, R=R, Cp=Cp),
+        functools.partial(_rows_kernel_idmatch_packed, K=K, R=R, Cp=Cp,
+                          NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * Cp),
                                        dtype),
         interpret=interpret,
-    )(qp, ids_blk, packed)
+    )(info, qp, ids_blk, packed)
     out = out[:, :Vout]
     if Cp > C:
         out = out.reshape(B, Vout, K, Cp)[..., :C].reshape(
@@ -804,55 +833,40 @@ def _rows_idmatch_packed(features, site_ids, qids, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _idmatch_walk_pos(q, valid, ids_ref, carry_ref, k, v_dummy):
-    """Walk id windows for one offset column; returns (T, 1) matched
-    positions in the site list (v_dummy on miss)."""
-    T = q.shape[0]
-    n_rows = ids_ref.shape[1]
-    n_win = n_rows // ROWS_ID
-    qmax = jnp.max(jnp.where(valid, q, -1))
-    start = jnp.minimum(carry_ref[k], n_win - 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN_ID), 1)
-
-    def cond(s):
-        return jnp.logical_not(s[2])
-
-    def body(s):
-        win_i, _, _, pos = s
-        rbase = pl.multiple_of(win_i * ROWS_ID, 8)
-        idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]       # (8, 128)
-        accept = _accept_block(q, valid, idblk)            # (T, WIN_ID)
-        # miss-encoded-as-(-1) max accumulator: a single (T, 1) int32
-        # loop carry (a separate (T, 1) bool hit carry trips a Mosaic
-        # internal error in scf.yield padded layouts)
-        cand = jnp.max(
-            jnp.where(accept, win_i * WIN_ID + col_iota, -1), axis=1,
-            keepdims=True)
-        pos = jnp.maximum(pos, cand)
-        done = (jnp.max(idblk) >= qmax) | (win_i + 1 >= n_win)
-        return win_i + 1, win_i, done, pos
-
-    init = (start, start, jnp.logical_not(jnp.any(valid)),
-            jnp.full((T, 1), -1, jnp.int32))
-    _, last, _, pos = jax.lax.while_loop(cond, body, init)
-    carry_ref[k] = last
-    return jnp.where(pos >= 0, pos, v_dummy)
+def _match_pass(q, valid, ids_ref, win_i, col_iota):
+    """ONE id-window pass: (T, 1) matched positions in window ``win_i``
+    (-1 = no match in this window); miss-encoded-as-(-1) max
+    accumulator (a separate (T, 1) bool hit carry trips a Mosaic
+    internal error in scf.yield padded layouts)."""
+    rbase = pl.multiple_of(win_i * ROWS_ID, 8)
+    idblk = ids_ref[0, pl.ds(rbase, ROWS_ID), :]       # (8, 128)
+    accept = _accept_block(q, valid, idblk)            # (T, WIN_ID)
+    return jnp.max(
+        jnp.where(accept, win_i * WIN_ID + col_iota, -1), axis=1,
+        keepdims=True)
 
 
-def _match_kernel(qids_ref, ids_ref, out_ref, carry_ref, *, K, v_dummy):
+def _match_kernel(info_ref, qids_ref, ids_ref, out_ref, *, K, v_dummy,
+                  NT):
+    b = pl.program_id(0)
     t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _reset():
-        for k in range(K):
-            carry_ref[k] = 0
-
+    n_tiles = pl.num_programs(1)
+    base = (b * n_tiles + t) * K
+    T = qids_ref.shape[1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN_ID), 1)
     cols = []
     for k in range(K):
         q = qids_ref[0, :, k:k + 1]
         valid = q >= 0
-        cols.append(_idmatch_walk_pos(q, valid, ids_ref, carry_ref, k,
-                                      v_dummy))
+        win0 = info_ref[base + k]
+
+        def body(i, pos, q=q, valid=valid, win0=win0):
+            return jnp.maximum(pos, _match_pass(q, valid, ids_ref,
+                                                win0 + i, col_iota))
+
+        pos = jax.lax.fori_loop(0, info_ref[NT + base + k], body,
+                                jnp.full((T, 1), -1, jnp.int32))
+        cols.append(jnp.where(pos >= 0, pos, v_dummy))
     out_ref[0] = jnp.concatenate(cols, axis=1)
 
 
@@ -864,7 +878,8 @@ def match_positions(site_ids, qids, n_sites: int, interpret=False):
     rulebook for ``gather_conv_pallas`` / ``gather_conv``
     (sparse_conv.py::subm_neighbor_idx semantics).
 
-    One window walk per offset. A z-plane-grouped variant (one shared
+    One scalar-bounded window scan per offset, trip counts precomputed
+    by ``_id_window_trips``. A z-plane-grouped variant (one shared
     walk per 9 offsets, SMEM min-id backoff for dense regions) measured
     SLOWER (31.3 vs 26.7 ms at V=120k, 11.5 vs 10.2 at 40k): the
     matcher is VPU-compare-bound, so grouping only moves the same
@@ -880,26 +895,27 @@ def match_positions(site_ids, qids, n_sites: int, interpret=False):
     qp = jnp.concatenate(
         [qids, jnp.full((B, n_tiles * TILE - Vout, K), -1, jnp.int32)],
         axis=1)
+    info = _id_window_trips(ids, qp, Vp // WIN_ID)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
     )
     out = pl.pallas_call(
-        functools.partial(_match_kernel, K=K, v_dummy=n_sites),
+        functools.partial(_match_kernel, K=K, v_dummy=n_sites,
+                          NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K),
                                        jnp.int32),
         interpret=interpret,
-    )(qp, ids_blk)
+    )(info, qp, ids_blk)
     return out[:, :Vout]
 
 
@@ -917,7 +933,8 @@ def _pack_idmatch(features, site_ids, qids):
     qp = jnp.concatenate(
         [qids, jnp.full((B, n_tiles * TILE - Vout, K), -1, jnp.int32)],
         axis=1)
-    return feats, ids_blk, qp, n_tiles, Vp
+    info = _id_window_trips(ids, qp, Vp // WIN_ID)
+    return feats, ids_blk, qp, info, n_tiles, Vp
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -929,31 +946,31 @@ def _raw_idmatch(features, site_ids, qids, weights, interpret=False):
     _, Vout, K = qids.shape
     Cout = weights.shape[-1]
     dtype = features.dtype
-    feats, ids_blk, qp, n_tiles, Vp = _pack_idmatch(features, site_ids,
-                                                    qids)
+    feats, ids_blk, qp, info, n_tiles, Vp = _pack_idmatch(
+        features, site_ids, qids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp, C), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, C, Cout), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((K, C, Cout), lambda b, t, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, Cout), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TILE, Cout),
+                               lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_idmatch, K=K),
+        functools.partial(_kernel_idmatch, K=K, NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
         interpret=interpret,
-    )(qp, ids_blk, feats, weights.astype(dtype))
+    )(info, qp, ids_blk, feats, weights.astype(dtype))
     return out[:, :Vout]
 
 
@@ -963,29 +980,29 @@ def _rows_idmatch(features, site_ids, qids, interpret=False):
     B, V, C = features.shape
     _, Vout, K = qids.shape
     dtype = features.dtype
-    feats, ids_blk, qp, n_tiles, Vp = _pack_idmatch(features, site_ids,
-                                                    qids)
+    feats, ids_blk, qp, info, n_tiles, Vp = _pack_idmatch(
+        features, site_ids, qids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp // 128, 128), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp // 128, 128), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp, C), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, K * C), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TILE, K * C),
+                               lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
     )
     out = pl.pallas_call(
-        functools.partial(_rows_kernel_idmatch, K=K),
+        functools.partial(_rows_kernel_idmatch, K=K, NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * C), dtype),
         interpret=interpret,
-    )(qp, ids_blk, feats)
+    )(info, qp, ids_blk, feats)
     return out[:, :Vout]
 
 
