@@ -621,6 +621,7 @@ def test_spconv_v2_layout_auto_detected():
     jax.tree_util.tree_map(np.testing.assert_array_equal, v1, v2)
 
 
+@pytest.mark.slow
 def test_full_forward_parity_sunrgbd_real_scale():
     """Full-detector forward parity at the real SUN RGB-D config: grid
     [128,320,320], 3 decoder layers, nq=300, C=256, eval query groups.
@@ -629,6 +630,7 @@ def test_full_forward_parity_sunrgbd_real_scale():
     run_full_parity(cfg, np.random.RandomState(10), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_full_forward_parity_kitti_9layer():
     """9-decoder-layer KITTI shape: real depth (9 layers), channels and
     nq; the H/W grid is reduced 4x (1600x1408 -> 400x352) to keep the
