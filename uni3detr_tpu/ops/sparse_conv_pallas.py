@@ -47,6 +47,15 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 512     # output rows per grid step (multiple of 8)
 WIN = 512      # packed window rows per pass (multiple of 128)
 
+# All kernels here keep the (lane-padded) feature/id table VMEM-resident
+# for the whole grid. With a batch axis in the grid, Mosaic DOUBLE-buffers
+# the per-batch table block, so a table that fits the default 16 MiB
+# scoped-vmem limit single-buffered OOMs at B=2 (seen: KITTI train bs2,
+# stage-2 32.5k x C32 table = 8.3 MiB -> 16.13 MiB scoped). v5e/v5p have
+# 128 MiB VMEM; raise the per-kernel limit so double-buffered tables at
+# the 12 MiB dispatch budget (2x12 + scratch) always fit.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+
 
 def _cpad(C: int) -> int:
     """Smallest power of two >= C (capped at 128) so R = 128/Cp is whole."""
@@ -224,6 +233,7 @@ def _raw_packed(features, neighbor_idx, weights,
                           NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, idx, packed, w.reshape(K * Cp, Cout).astype(dtype))
     return out[:, :Vout]
@@ -280,6 +290,7 @@ def _rows_packed(features, neighbor_idx, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * Cp),
                                        dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, idx, packed)
     out = out[:, :Vout]
@@ -381,6 +392,7 @@ def _raw_unpacked(features, neighbor_idx, weights,
                           NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, idx, padded, weights.astype(dtype))
     return out[:, :Vout]
@@ -447,6 +459,7 @@ def _rows_unpacked(features, neighbor_idx, interpret: bool = False):
                           NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * C), dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, idx, padded)
     return out[:, :Vout]
@@ -776,6 +789,7 @@ def _raw_idmatch_packed(features, site_ids, qids, weights,
                           NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, qp, ids_blk, packed, w.astype(dtype))
     return out[:, :Vout]
@@ -809,6 +823,7 @@ def _rows_idmatch_packed(features, site_ids, qids, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * Cp),
                                        dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, qp, ids_blk, packed)
     out = out[:, :Vout]
@@ -914,6 +929,7 @@ def match_positions(site_ids, qids, n_sites: int, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K),
                                        jnp.int32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, qp, ids_blk)
     return out[:, :Vout]
@@ -969,6 +985,7 @@ def _raw_idmatch(features, site_ids, qids, weights, interpret=False):
         functools.partial(_kernel_idmatch, K=K, NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, qp, ids_blk, feats, weights.astype(dtype))
     return out[:, :Vout]
@@ -1001,6 +1018,7 @@ def _rows_idmatch(features, site_ids, qids, interpret=False):
         functools.partial(_rows_kernel_idmatch, K=K, NT=B * n_tiles * K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * C), dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, qp, ids_blk, feats)
     return out[:, :Vout]
