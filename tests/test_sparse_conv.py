@@ -471,3 +471,20 @@ def test_match_positions_dense_cluster():
     nb = subm_neighbor_idx(cj, mj, g)[None]
     got = match_positions(ids, qids, len(lin), interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(nb))
+
+
+def test_match_positions_count_vs_accept_block():
+    """The counting (searchsorted) matcher kernel and the accept-block
+    kernel are drop-in equivalents (match_positions(count=...)) —
+    pinned explicitly so both stay covered whatever the
+    UNI3DETR_MATCH_COUNT default; misses, -1 queries and dense slabs
+    included."""
+    from uni3detr_tpu.ops.sparse_conv_pallas import match_positions
+    rng = np.random.RandomState(7)
+    ids, qids, nb, _, _, _, _ = _idmatch_fixture(rng, n=150, V=160)
+    qids = np.asarray(qids).copy()
+    qids[0, ::5, 2] = -1                      # invalid queries
+    qids = jnp.asarray(qids)
+    a = match_positions(ids, qids, 160, interpret=True, count=False)
+    b = match_positions(ids, qids, 160, interpret=True, count=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
