@@ -149,7 +149,7 @@ class OV_Uni3DETR(nn.Module):
                                  momentum=0.99, epsilon=1e-3,
                                  dtype=jnp.float32,
                                  name="fusion_bn")(fused)
-            volume = nn.relu(fused)
+            volume = nn.relu(fused).astype(unified.dtype)
         elif use_pts:
             volume = pts_feat
         else:

@@ -25,9 +25,13 @@ class _Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        bn = lambda name: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, epsilon=1e-5,
-                                       dtype=jnp.float32, name=name)
+        # BN stats in f32, output restored to the compute dtype so the
+        # following convs stay on the bf16 MXU path
+        bn = lambda name: (
+            lambda v, _m=nn.BatchNorm(use_running_average=not train,
+                                      momentum=0.9, epsilon=1e-5,
+                                      dtype=jnp.float32, name=name):
+            _m(v).astype(v.dtype))
         identity = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
@@ -69,12 +73,14 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = x.dtype
         stem_train = train and self.frozen_stages < 0
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="stem_conv")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=not stem_train,
                                  momentum=0.9, epsilon=1e-5,
-                                 dtype=jnp.float32, name="stem_bn")(x))
+                                 dtype=jnp.float32,
+                                 name="stem_bn")(x)).astype(dt)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -23,12 +23,16 @@ class _ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = x.dtype
         pad = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel]
         x = nn.Conv(self.features, self.kernel, strides=tuple(self.strides),
                     padding=pad, use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32)(x)
-        return nn.relu(x)
+        # BN stats stay f32; restore the compute dtype so the NEXT conv
+        # runs on the bf16 MXU path (the f32 upcast leaking through the
+        # whole backbone measured ~2x on the dense conv stages)
+        return nn.relu(x).astype(dt)
 
 
 class SECOND3D(nn.Module):
@@ -81,7 +85,7 @@ class SECOND3DFPN(nn.Module):
             y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=jnp.float32,
                              name=f"deblock{i}_bn")(y)
-            ups.append(nn.relu(y))
+            ups.append(nn.relu(y).astype(x.dtype))
         out = sum(ups) if len(ups) > 1 else ups[0]
         for j in range(self.num_extra_conv):
             out = _ConvBNReLU(self.out_channels[-1], kernel=(3, 3, 3),

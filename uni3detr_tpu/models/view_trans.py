@@ -164,10 +164,11 @@ class Uni3DViewTrans(nn.Module):
         vol = feats.reshape(B, X, Y, Z, -1).transpose(0, 3, 2, 1, 4)
         for k in range(self.num_convs):
             pad = [((s - 1) // 2, (s - 1) // 2) for s in self.kernel_size]
+            dt = vol.dtype
             vol = nn.Conv(self.embed_dims, self.kernel_size, padding=pad,
                           name=f"conv_trans{k+1}")(vol)
             vol = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                epsilon=1e-3, dtype=jnp.float32,
                                name=f"bn{k+1}")(vol)
-            vol = nn.relu(vol)
+            vol = nn.relu(vol).astype(dt)  # BN stats f32, convs bf16
         return vol

@@ -21,12 +21,14 @@ class _ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = x.dtype
         x = nn.Conv(self.features, (self.kernel,) * 2,
                     strides=(self.strides,) * 2, padding="SAME",
                     use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32)(x)
-        return nn.relu(x)
+        # stats in f32; keep the conv chain on the compute dtype
+        return nn.relu(x).astype(dt)
 
 
 class _eSE(nn.Module):
