@@ -117,6 +117,28 @@ def test_fps_pallas_matches_xla():
     assert (ref == got).all()
 
 
+def test_fps_pair_matches_singles():
+    """The fused two-set FPS kernel (one interleaved loop) must select
+    exactly what two independent runs select, for different set sizes
+    and partial masks."""
+    from uni3detr_tpu.ops.fps import (farthest_point_sample_pair_pallas,
+                                      farthest_point_sample_xla)
+    rng = np.random.RandomState(11)
+    xa = rng.randn(2, 230, 3).astype(np.float32)
+    ma = np.ones((2, 230), bool)
+    ma[0, 200:] = False
+    xb = rng.randn(2, 90, 3).astype(np.float32) * 5
+    mb = np.ones((2, 90), bool)
+    mb[1, 60:] = False
+    ia, ib = farthest_point_sample_pair_pallas(
+        jnp.asarray(xa), jnp.asarray(ma), jnp.asarray(xb),
+        jnp.asarray(mb), 16, interpret=True)
+    ra = farthest_point_sample_xla(jnp.asarray(xa), jnp.asarray(ma), 16)
+    rb = farthest_point_sample_xla(jnp.asarray(xb), jnp.asarray(mb), 16)
+    assert (np.asarray(ia) == np.asarray(ra)).all()
+    assert (np.asarray(ib) == np.asarray(rb)).all()
+
+
 def test_grid_sample_3d_against_torch():
     import torch
     import torch.nn.functional as F

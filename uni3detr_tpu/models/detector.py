@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.voxelize import hard_voxelize, dynamic_voxelize
-from ..ops.fps import farthest_point_sample
+from ..ops.fps import (farthest_point_sample,
+                       farthest_point_sample_pair)
 from ..parallel.mesh import constrain, DATA_AXIS, SPATIAL_AXIS
 from .config import Uni3DETRConfig
 from .head import Uni3DETRHead
@@ -86,13 +87,15 @@ class Uni3DETR(nn.Module):
 
         nq = cfg.num_query
         xyz = points[..., :3]
-        idx1 = farthest_point_sample(xyz, pts_mask, nq)
-        fps1 = jnp.take_along_axis(xyz, idx1[..., None], axis=1)
-        fps1 = _minmax_norm(fps1)
-        # voxel-coordinate FPS: (z, y, x) ints -> (x, y, z) floats
+        # voxel-coordinate FPS: (z, y, x) ints -> (x, y, z) floats; both
+        # samples run in ONE interleaved kernel (each alone is
+        # latency-bound — see _fps_pair_kernel)
         vc = coords[..., ::-1].astype(jnp.float32)
         vc = jnp.where(vmask[..., None], vc, 0.0)
-        idx2 = farthest_point_sample(vc, vmask, nq)
+        idx1, idx2 = farthest_point_sample_pair(xyz, pts_mask, vc,
+                                                vmask, nq)
+        fps1 = jnp.take_along_axis(xyz, idx1[..., None], axis=1)
+        fps1 = _minmax_norm(fps1)
         fps2 = jnp.take_along_axis(vc, idx2[..., None], axis=1)
         fps2 = _minmax_norm(fps2)
         fpsbpts = jnp.concatenate([fps1, fps2], axis=1)

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.fps import farthest_point_sample
+from ..ops.fps import (farthest_point_sample,
+                       farthest_point_sample_pair)
 from .config import OVUni3DETRConfig
 from .detector import Uni3DETR, _minmax_norm
 from .head_clip import Uni3DETRHeadCLIP
@@ -59,11 +60,12 @@ class OV_Uni3DETR(nn.Module):
         # FPS query points (same dual scheme as Uni3DETR)
         nq = cfg.num_query
         xyz = points[..., :3]
-        idx1 = farthest_point_sample(xyz, pts_mask, nq)
-        fps1 = _minmax_norm(jnp.take_along_axis(xyz, idx1[..., None], 1))
         vc = coords[..., ::-1].astype(jnp.float32)
         vc = jnp.where(vmask[..., None], vc, 0.0)
-        idx2 = farthest_point_sample(vc, vmask, nq)
+        # one interleaved kernel for both samples (see _fps_pair_kernel)
+        idx1, idx2 = farthest_point_sample_pair(xyz, pts_mask, vc,
+                                                vmask, nq)
+        fps1 = _minmax_norm(jnp.take_along_axis(xyz, idx1[..., None], 1))
         fps2 = _minmax_norm(jnp.take_along_axis(vc, idx2[..., None], 1))
         return fused, jnp.concatenate([fps1, fps2], 1), grid
 
