@@ -40,7 +40,10 @@ def test_kitti_converter_and_loader(tmp_path):
         infos = pickle.load(f)
     assert len(infos) == 1
     annos = infos[0]["annos"]
-    assert list(annos["name"]) == ["Car"]
+    # DontCare rows are kept (mmdet3d converter parity) so eval's
+    # DontCare FP-absorption sees them; training filters them by name
+    assert list(annos["name"]) == ["Car", "DontCare"]
+    assert annos["gt_boxes_lidar"].shape[0] == 2
     box = annos["gt_boxes_lidar"][0]
     # cam loc (2.0, 1.5, 10.0) -> lidar (z_c, -x_c, -y_c) = (10, -2, -1.5)
     np.testing.assert_allclose(box[:3], [10.0, -2.0, -1.5], atol=1e-4)

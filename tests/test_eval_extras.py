@@ -128,6 +128,51 @@ def _dc_fixture(with_dc, stray_in_dc=True):
     return gt, det
 
 
+def test_kitti_second_pass_vectorized_equivalence():
+    """_second_pass_all (the 41-threshold vectorization) must replay the
+    scalar greedy pass exactly, including det_ign consumption, DontCare
+    absorption and AOS similarity accumulation, on random fixtures."""
+    from uni3detr_tpu.data.eval.kitti_eval import (_second_pass,
+                                                   _second_pass_all)
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        D = rng.randint(0, 12)
+        G = rng.randint(0, 9)
+        ov = rng.rand(D, G).astype(np.float64)
+        # duplicated overlaps to exercise argmax tie order
+        if D > 2 and G > 1:
+            ov[1] = ov[0]
+        scores = rng.rand(D)
+        det_ign = rng.randint(0, 2, D).astype(np.int32)
+        ignored_gt = rng.randint(-1, 2, G).astype(np.int32)
+        thresholds = np.sort(rng.rand(rng.randint(1, 8)))[::-1]
+        dc_ov = rng.rand(D, rng.randint(0, 3))
+        sim = rng.rand(D, G)
+        tp_v, fp_v, s_v = _second_pass_all(
+            ov, scores, det_ign, ignored_gt, thresholds, 0.5,
+            dc_ov=dc_ov, sim=sim)
+        for ti, t in enumerate(thresholds):
+            tp, fp, s = _second_pass(ov, scores, det_ign, ignored_gt,
+                                     t, 0.5, dc_ov=dc_ov, sim=sim)
+            assert (tp_v[ti], fp_v[ti]) == (tp, fp), trial
+            assert s_v[ti] == pytest.approx(s), trial
+
+
+def test_kitti_gt_height_boundary_inclusive():
+    """Official clean_data ignores a GT whose 2D height is exactly the
+    difficulty minimum (h <= MIN_HEIGHT); it must not count as a valid
+    GT (a miss of it would otherwise cost recall)."""
+    from uni3detr_tpu.data.eval.kitti_eval import _gt_ignored
+    gt = {"boxes": np.zeros((2, 7), np.float32),
+          "names": np.array(["Car", "Car"], dtype=object),
+          # heights exactly 25 px and 26 px at moderate (hmin=25)
+          "bbox": np.array([[0, 0, 50, 25], [0, 0, 50, 26]], np.float32),
+          "occluded": np.array([0, 0]),
+          "truncated": np.array([0.0, 0.0], np.float32)}
+    ign = _gt_ignored(gt, "Car", 1)
+    assert list(ign) == [1, 0]
+
+
 def test_kitti_dontcare_absorbs_fp():
     """Official DontCare handling (2D bbox metric): a detection whose
     intersection/det-area with a DontCare region exceeds the overlap

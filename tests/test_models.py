@@ -47,3 +47,16 @@ def test_forward_shapes_eval_has_extra_group():
                       train=False, random_points=rp)
     L, nq = TINY.num_decoder_layers, TINY.num_query
     assert out["all_cls_scores"].shape == (L, 2, 4 * nq, TINY.num_classes)
+
+
+def test_cross_atten_rejects_multi_point():
+    """num_points>1 is unimplemented (the reference's extra attention
+    weights would be silently dropped); must fail loudly (VERDICT r4 #7)."""
+    import pytest
+    from uni3detr_tpu.models.transformer import UniCrossAtten
+    m = UniCrossAtten(embed_dim=8, num_points=2)
+    x = jnp.zeros((1, 1, 4, 8))
+    vol = jnp.zeros((1, 2, 2, 2, 8))
+    ref = jnp.zeros((1, 1, 4, 3))
+    with pytest.raises(NotImplementedError):
+        m.init(jax.random.PRNGKey(0), x, x, vol, ref, False)

@@ -224,7 +224,7 @@ def soft_focal_t(pred, labels, score, num_classes, avg_factor,
 
 
 def torch_loss_single(cls_scores, bbox_preds, iou_preds, gt_list, gl_list,
-                      cfg, assign_override=None):
+                      cfg, assign_override=None, unc_preds=None):
     """One decoder layer over the batch: (B, Q, .) torch tensors + exact
     (unpadded) GT lists. Returns (component dict, per-image assignment).
 
@@ -232,7 +232,13 @@ def torch_loss_single(cls_scores, bbox_preds, iou_preds, gt_list, gl_list,
     of this oracle's own matching (the assignment is detached data in the
     reference too, hungarian_assigner_3d.py:124 — injecting the other
     implementation's near-tie choice lets the loss math be compared
-    exactly when fp noise flips degenerate matchings)."""
+    exactly when fp noise flips degenerate matchings).
+
+    ``unc_preds`` (B, Q, ncls+1): the OV head's uncertainty branch
+    (uni3detr_head_clip.py:696-748): gathered at the target label
+    (background rows take the last column), clipped at min 0.01; the L1
+    bbox weights are multiplied by sqrt(2)*exp(-sigma) and a
+    loss_consistency = sigma.mean() term is added."""
     B, Q, ncls = cls_scores.shape
     code = bbox_preds.shape[-1]
     labels, bbox_targets, bbox_weights, assigns = [], [], [], []
@@ -282,9 +288,20 @@ def torch_loss_single(cls_scores, bbox_preds, iou_preds, gt_list, gl_list,
     cw = torch.tensor(cfg.code_weights, dtype=torch.float32)
     bbox_weights = bbox_weights * cw
 
+    loss_consistency = None
+    unc_w = 1.0
+    if unc_preds is not None:
+        # uni3detr_head_clip.py:696-697: gather at target label, clip,
+        # sqrt(2)*exp(-sigma) L1 weighting + consistency mean (:748)
+        u = unc_preds.reshape(-1, unc_preds.shape[-1])
+        u = u[torch.arange(labels.shape[0]), labels].clip(min=0.01)
+        unc_w = math.sqrt(2) * torch.exp(-u[:, None])
+        loss_consistency = u.mean()
+
     l1 = (bbox_preds[isnotnan, :10] -
           normalized_bbox_targets[isnotnan, :10]).abs() \
-        * bbox_weights[isnotnan, :10]
+        * (bbox_weights[isnotnan, :10]
+           * (unc_w if unc_preds is None else unc_w[isnotnan]))
     loss_bbox = cfg.loss_bbox_weight * l1.sum() / ntp
 
     loss_iou_z = 1 - iou_z[isnotnan]
@@ -302,15 +319,18 @@ def torch_loss_single(cls_scores, bbox_preds, iou_preds, gt_list, gl_list,
         iou_preds, iou3d_true, reduction="none")
         * bbox_weights[isnotnan, 0]).sum() / ntp * 1.2
 
-    return ({"loss_cls": loss_cls, "loss_bbox": loss_bbox,
-             "loss_iou": loss_iou, "loss_iou_pred": loss_iou_pred},
-            assigns)
+    comps = {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
+             "loss_iou": loss_iou, "loss_iou_pred": loss_iou_pred}
+    if loss_consistency is not None:
+        comps["loss_consistency"] = loss_consistency
+    return (comps, assigns)
 
 
 def torch_loss(all_cls, all_box, all_iou, gt_list, gl_list, cfg,
-               assign_overrides=None):
+               assign_overrides=None, all_unc=None):
     """All decoder layers; returns (total, per-key dict, assignments).
-    ``assign_overrides``: per-layer list of per-image assignments."""
+    ``assign_overrides``: per-layer list of per-image assignments;
+    ``all_unc``: per-layer OV uncertainty predictions (L, B, Q, ncls+1)."""
     L = all_cls.shape[0]
     logs, assigns = {}, []
     total = torch.zeros(())
@@ -318,7 +338,8 @@ def torch_loss(all_cls, all_box, all_iou, gt_list, gl_list, cfg,
         comps, a = torch_loss_single(
             all_cls[l], all_box[l], all_iou[l], gt_list, gl_list, cfg,
             assign_override=None if assign_overrides is None
-            else assign_overrides[l])
+            else assign_overrides[l],
+            unc_preds=None if all_unc is None else all_unc[l])
         prefix = "" if l == L - 1 else f"d{l}."
         for k, v in comps.items():
             logs[prefix + k] = v

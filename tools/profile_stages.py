@@ -188,12 +188,13 @@ def main():
                                                             ).sum() * 1e-9,))
     results["encoder_sparse"] = timed(
         s_encoder, feats, coords, vmask,
-        perturb=lambda a, out, i: (a[0] + out[0].astype(jnp.float32).sum()
-                                   * 1e-9, a[1], a[2]))
+        perturb=lambda a, out, i: ((a[0] + out[0].astype(jnp.float32).sum()
+                                    * 1e-9).astype(a[0].dtype),
+                                   a[1], a[2]))
     results["backbone_neck"] = timed(
         s_dense, volume,
-        perturb=lambda a, out, i: (a[0] + out.astype(jnp.float32).sum()
-                                   * 1e-9,))
+        perturb=lambda a, out, i: ((a[0] + out.astype(jnp.float32).sum()
+                                    * 1e-9).astype(a[0].dtype),))
     results["fps_raw"] = timed(
         s_fps_raw, points,
         perturb=lambda a, out, i: (a[0] + out.sum() * 1e-9,))
@@ -203,7 +204,8 @@ def main():
     results["head"] = timed(
         s_head, fused, fpsb,
         perturb=lambda a, out, i: (
-            a[0] + leaf0(out).astype(jnp.float32).sum() * 1e-9, a[1]))
+            (a[0] + leaf0(out).astype(jnp.float32).sum() * 1e-9
+             ).astype(a[0].dtype), a[1]))
     def perturb_outs(a, out, i):
         d = out[1].astype(jnp.float32).sum() * 1e-9
         return (jax.tree_util.tree_map(

@@ -63,8 +63,12 @@ def create_kitti_infos(root, split_file, out_path):
                 [], [], [], [], [], [], []
             for line in open(label_path):
                 f = line.split()
-                if f[0] == "DontCare":
-                    continue
+                # DontCare rows are KEPT (mmdet3d kitti_converter parity):
+                # their raw placeholder values (loc -1000, dims -1, ry -10)
+                # flow through the camera->lidar transform unchanged-by-name
+                # and are consumed by eval's DontCare FP-absorption
+                # (data/eval/kitti_eval.py) while the dataset's
+                # class-name filter keeps them out of training GT.
                 names.append(f[0])
                 trunc.append(float(f[1]))
                 occ.append(int(float(f[2])))

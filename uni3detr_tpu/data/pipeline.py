@@ -337,7 +337,14 @@ class LoadPointsFromMultiSweeps:
                 lag = (sample["meta"].get("timestamp", 0)
                        - sw.get("timestamp", 0)) * 1e-6
                 if p.shape[1] == base.shape[1]:
-                    p[:, self.time_dim] = lag
+                    # time_dim indexes the LOAD layout (mmdet3d
+                    # loading.py semantics); locate its column in the
+                    # use_dim-selected array instead of assuming an
+                    # identity-ordered prefix.
+                    assert self.time_dim in use, (
+                        f"sweep width matches keyframe but time_dim "
+                        f"{self.time_dim} is not in use_dim {use}")
+                    p[:, use.index(self.time_dim)] = lag
                 else:
                     assert p.shape[1] == base.shape[1] - 1, (
                         f"sweep width {p.shape[1]} does not align with "

@@ -34,6 +34,15 @@ class UniCrossAtten(nn.Module):
     def __call__(self, x, query_pos, volume, ref_raw, train: bool):
         """x (B, G, nq, C); volume (B, D, H, W, C); ref_raw (B, G, nq, 3)
         in logit space."""
+        if self.num_points != 1:
+            # The reference samples ONE trilinear point per query and its
+            # extra attention weights would be dead (every shipped config
+            # sets num_points=1, uni3detr_sunrgbd.py:86). Sampling P>1
+            # points is unimplemented here; reject loudly instead of
+            # silently using attw[..., :1] only.
+            raise NotImplementedError(
+                "UniCrossAtten supports num_points=1 only (reference "
+                "uni3detr_transformer.py:223-248 with num_points=1)")
         B, G, nq, C = x.shape
         q = x + query_pos
         attw = jax.nn.sigmoid(
