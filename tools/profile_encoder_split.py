@@ -62,6 +62,8 @@ def main(preset="uni3detr_sunrgbd", n_iters=N_ITERS):
         output_channels=cfg.encoder_out_channels,
         encoder_channels=cfg.encoder_channels,
         downsample_paddings=cfg.encoder_downsample_paddings,
+        budget_shrink=cfg.encoder_budget_shrink,
+        budget_caps=cfg.encoder_budget_caps,
         compute_dtype=cfg.jnp_compute_dtype)
     variables = jax.jit(
         lambda f, c, m: enc.init(jax.random.PRNGKey(0), f, c, m, False)

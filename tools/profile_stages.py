@@ -110,6 +110,8 @@ def main():
         output_channels=cfg.encoder_out_channels,
         encoder_channels=cfg.encoder_channels,
         downsample_paddings=cfg.encoder_downsample_paddings,
+        budget_shrink=cfg.encoder_budget_shrink,
+        budget_caps=cfg.encoder_budget_caps,
         compute_dtype=dtype)
 
     def s_encoder(feats, coords, vmask):
