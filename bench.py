@@ -72,12 +72,22 @@ def require_device(timeout_s: int | None = None) -> None:
         raise SystemExit(3)
 
 
+FLAGSHIP_PRESETS = ("uni3detr_sunrgbd", "uni3detr_kitti_car",
+                    "uni3detr_nuscenes", "uni3detr_scannet_large",
+                    "ov_uni3detr_sunrgbd_mm")
+
+
 def main(preset: str = "uni3detr_sunrgbd", n_scenes: int = N_SCENES,
          distribution: str = "clustered"):
     """One JSON line for ``preset`` (default = the driver's headline
     SUN RGB-D metric; pass e.g. ``uni3detr_kitti_car`` /
-    ``uni3detr_nuscenes`` as argv[1] for the outdoor configs).
+    ``uni3detr_nuscenes`` as argv[1] for the outdoor configs, or ``all``
+    for one line per flagship preset — VERDICT r4 #5).
     ``distribution``: 'clustered' (surface-like, default) | 'uniform'."""
+    if preset == "all":
+        for p in FLAGSHIP_PRESETS:
+            main(p, n_scenes, distribution)
+        return
     require_device()
     import jax
     # executables deserialized from the persistent compilation cache run

@@ -1,4 +1,5 @@
 """Model forward smoke + shape tests on the tiny config."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ def _batch(seed=0, B=2):
     return pad_batch(scenes)
 
 
+@pytest.mark.slow  # train-mode compile of the full detector; train coverage stays in test_train.py
 def test_forward_shapes_train():
     pts, pmask, *_ = _batch()
     model = Uni3DETR(TINY)

@@ -7,6 +7,7 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 
 
 def rotmat_to_quat(R):
@@ -223,6 +224,7 @@ def test_converter_schema_and_geometry(tmp_path):
     assert abs(uvzw[2] - cam_pt[2]) < 1e-4
 
 
+@pytest.mark.slow  # converter->OV-forward integration; 55 s of XLA
 def test_converted_infos_to_ov_forward(tmp_path):
     """info pkl -> dataset (use_camera) -> multi-sweep loader -> collate
     -> OV multimodal forward on a tiny config."""

@@ -64,6 +64,7 @@ def _init_and_apply(cfg, batch, train, B):
     return out
 
 
+@pytest.mark.slow  # full OV multimodal compile; 119 s on a 1-core host
 def test_ov_multimodal_forward_and_loss():
     batch, gt = _ov_batch()
     out = _init_and_apply(OV_TINY, batch, train=True, B=1)
@@ -241,11 +242,13 @@ def test_head_clip_query_group_counts_per_mode():
     rnd = jnp.asarray(rng.rand(1, nq, 3).astype(np.float32))
 
     def q_count(fpsbpts, train, random_points=None):
-        variables = head.init(jax.random.PRNGKey(0), vol, fpsbpts,
-                              train=train, random_points=random_points)
-        outs = head.apply(variables, vol, fpsbpts, train=train,
-                          random_points=random_points,
-                          rngs={"dropout": jax.random.PRNGKey(1)})
+        # group counts are shape-level facts: eval_shape costs no compile
+        # (this test was 42 s of XLA time as 4 real init+apply pairs)
+        outs, _ = jax.eval_shape(
+            lambda: head.init_with_output(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                vol, fpsbpts, train=train, random_points=random_points))
         return outs["all_cls_scores"].shape[2]
 
     assert q_count(None, True) == nq            # camera-only train

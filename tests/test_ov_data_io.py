@@ -1,6 +1,7 @@
 """OV camera-branch data loading end-to-end on a synthetic SUN RGB-D
 fixture (info pkl with image + calib), through dataset -> pipeline ->
 collate -> OV model forward."""
+import pytest
 import dataclasses
 import os
 import pickle
@@ -38,6 +39,7 @@ def _write_sunrgbd_fixture(root, n=2):
         pickle.dump(infos, f)
 
 
+@pytest.mark.slow  # dataset->OV-forward integration; 43 s of XLA
 def test_ov_camera_dataset_to_forward(tmp_path):
     from uni3detr_tpu.data.datasets import DetDataset, collate_batch
     from uni3detr_tpu.models.ov_detector import OV_Uni3DETR

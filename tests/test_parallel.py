@@ -15,6 +15,7 @@ import pathlib
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
@@ -54,6 +55,7 @@ def _run_step(mesh, batch):
         set_active_mesh(None)
 
 
+@pytest.mark.slow  # the driver executes dryrun_multichip every round
 def test_dryrun_multichip_8():
     assert len(jax.devices()) == 8
     import __graft_entry__ as ge
@@ -89,6 +91,7 @@ def test_dp8_step_matches_single_device():
     np.testing.assert_allclose(losses_8[1], losses_1[1], rtol=5e-4)
 
 
+@pytest.mark.slow  # spatial-sharding numerics; 146 s of XLA on a 1-core host
 def test_spatial2_forward_matches_unsharded():
     """(b) spatial=2 forward output == unsharded forward output."""
     from uni3detr_tpu.parallel.mesh import make_mesh, set_active_mesh, \

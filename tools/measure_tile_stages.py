@@ -1,0 +1,116 @@
+"""TILE sweep of the positional packed conv at the SUN RGB-D per-stage
+shapes with CLUSTERED site ids (the walk's pass count depends on local
+density, which uniform ids understate).
+
+Hypothesis (round 5): the walk window is sized ~TILE/R packed rows, so at
+C>=32 (R<=4) the fixed TILE=512 forces win=256/384 — every one-hot matmul
+streams 2-3 contraction chunks per row instead of 1. A per-R tile size
+that keeps win at the 128 floor should cut those stages' row cost.
+
+Run: ``python tools/measure_tile_stages.py`` on the TPU host.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_ITERS = 20
+
+
+def clustered_sites(rng, grid, V):
+    """Contiguous boxes of cells (test_torch_import.clustered_cloud
+    style) — solid surfaces, high local density along sorted ids."""
+    D, H, W = grid
+    lim = np.asarray([W, H, D])
+    cells = []
+    while sum(len(c) for c in cells) < V * 2:
+        ext = rng.randint(4, 10, 3)
+        c0 = (rng.rand(3) * np.maximum(lim - ext - 1, 1)).astype(np.int64)
+        ax = [np.arange(c0[i], min(c0[i] + ext[i], lim[i] - 1))
+              for i in range(3)]
+        bx, by, bz = np.meshgrid(*ax, indexing="ij")
+        cells.append(np.stack([bz.ravel(), by.ravel(), bx.ravel()], -1))
+    cells = np.unique(np.concatenate(cells), axis=0)
+    lin = (cells[:, 0] * H + cells[:, 1]) * W + cells[:, 2]
+    order = np.argsort(lin)[:V]
+    return cells[np.sort(order)]
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_compilation_cache", False)
+    import jax.numpy as jnp
+    from uni3detr_tpu.ops.sparse_conv import subm_neighbor_idx, \
+        build_position_table
+    from uni3detr_tpu.ops import sparse_conv_pallas as scp
+
+    rng = np.random.RandomState(0)
+
+    def timed(fn, args):
+        @jax.jit
+        def run(a):
+            def body(a, i):
+                out = fn(*a)
+                return ((a[0] + out.astype(jnp.float32).sum() * 1e-9
+                         ).astype(a[0].dtype), *a[1:]), ()
+            final, _ = jax.lax.scan(body, a, jnp.arange(N_ITERS))
+            return final
+        r = run(args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = run(args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / N_ITERS * 1e3
+
+    # SUN RGB-D per-stage (grid, V, C); grids follow the (2,2,2) strides
+    cases = [((128, 320, 320), 40000, 16),
+             ((64, 160, 160), 28000, 32),
+             ((32, 80, 80), 12000, 64),
+             ((16, 40, 40), 4800, 128)]
+    results = {}
+    for grid, V, C in cases:
+        coords = clustered_sites(rng, grid, V)[None].astype(np.int32)
+        mask = np.ones((1, V), bool)
+        table = jax.jit(lambda c, m: build_position_table(
+            c[0], m[0], grid)[None])(jnp.asarray(coords),
+                                     jnp.asarray(mask))
+        nb = jax.jit(lambda c, m, t: subm_neighbor_idx(
+            c[0], m[0], grid, 3, t[0])[None])(
+            jnp.asarray(coords), jnp.asarray(mask), table)
+        jax.block_until_ready(nb)
+        x = jnp.asarray(rng.randn(1, V, C).astype(np.float32)).astype(
+            jnp.bfloat16)
+        w = jnp.asarray((rng.randn(27, C, C) * 0.1).astype(
+            np.float32)).astype(jnp.bfloat16)
+        row = {}
+        ref = None
+        for tile in (128, 256, 512, 1024):
+            scp.TILE = tile
+            scp._raw_packed.clear_cache()
+            try:
+                out = scp._raw_packed(x, nb, w)
+                jax.block_until_ready(out)
+                if ref is None:
+                    ref = np.asarray(out, np.float32)
+                else:
+                    got = np.asarray(out, np.float32)
+                    err = np.abs(got - ref).max()
+                    assert err < 2e-2, (tile, err)
+                row[f"TILE={tile}"] = round(timed(
+                    lambda x_, nb_, w_: scp._raw_packed(x_, nb_, w_),
+                    (x, nb, w)), 3)
+            except Exception as e:  # noqa: BLE001
+                row[f"TILE={tile}"] = f"fail: {type(e).__name__}"
+        scp.TILE = 512
+        results[f"V={V},C={C}"] = row
+        print(json.dumps({f"V={V},C={C}": row}), flush=True)
+    print(json.dumps({"chip": jax.devices()[0].device_kind,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
