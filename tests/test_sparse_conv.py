@@ -488,3 +488,36 @@ def test_match_positions_count_vs_accept_block():
     a = match_positions(ids, qids, 160, interpret=True, count=False)
     b = match_positions(ids, qids, 160, interpret=True, count=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_conv_tile_win_variants_interpret():
+    """Non-default tile/win parameters (the round-5 per-stage dispatch
+    tuning) stay exact against the XLA formulation for BOTH positional
+    kernels — padding, window starts and trip counts all depend on
+    (tile, win)."""
+    from uni3detr_tpu.ops.sparse_conv_pallas import (_raw_packed,
+                                                     _raw_unpacked,
+                                                     _xla_gather_conv)
+    rng = np.random.RandomState(11)
+    B, V, C, Cout, K = 1, 700, 8, 16, 27
+    base = np.arange(V)
+    idx = np.full((B, V, K), V, np.int32)
+    idx[:, :, 13] = base
+    nb = rng.rand(B, V, K) < 0.3
+    raw = np.clip(base[None, :, None]
+                  + rng.randint(-650, 650, (B, V, K)), 0, V - 1)
+    idx = np.where(nb, raw, idx).astype(np.int32)
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    W = jnp.asarray(rng.randn(K, C, Cout).astype(np.float32) * 0.05)
+    i = jnp.asarray(idx)
+    ref = np.asarray(_xla_gather_conv(feats, i, W))
+    for tile in (128, 256):
+        out = _raw_packed(feats, i, W, interpret=True, tile=tile)
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   rtol=1e-5, atol=1e-5, err_msg=f"packed tile={tile}")
+    for tile, win in ((128, 128), (256, 128), (128, 256)):
+        out = _raw_unpacked(feats, i, W, interpret=True, tile=tile,
+                            win=win)
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=1e-5, atol=1e-5,
+            err_msg=f"unpacked tile={tile} win={win}")

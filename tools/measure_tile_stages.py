@@ -1,11 +1,16 @@
-"""TILE sweep of the positional packed conv at the SUN RGB-D per-stage
+"""TILE/WIN sweep of BOTH positional kernels at the SUN RGB-D per-stage
 shapes with CLUSTERED site ids (the walk's pass count depends on local
 density, which uniform ids understate).
 
-Hypothesis (round 5): the walk window is sized ~TILE/R packed rows, so at
-C>=32 (R<=4) the fixed TILE=512 forces win=256/384 — every one-hot matmul
-streams 2-3 contraction chunks per row instead of 1. A per-R tile size
-that keeps win at the 128 floor should cut those stages' row cost.
+Round-5 hypothesis: the one-hot gather's MXU cost is its AREA —
+(T x window) per (tile, offset) — so
+- unpacked kernel (the dispatch winner whenever the raw table fits VMEM,
+  i.e. every SUN RGB-D stage): area = T x WIN with both fixed at 512 =
+  4 contraction chunks per streamed row; T=WIN=128 cuts the area 16x at
+  the price of 4x more tiles (per-tile fixed cost);
+- packed kernel: window is already narrowed to ~TILE/R packed rows, so
+  at C>=32 (R<=4) TILE=512 forces win=256/384; TILE=64*R keeps the
+  128-lane floor.
 
 Run: ``python tools/measure_tile_stages.py`` on the TPU host.
 """
@@ -44,8 +49,8 @@ def main():
     import jax
     jax.config.update("jax_enable_compilation_cache", False)
     import jax.numpy as jnp
-    from uni3detr_tpu.ops.sparse_conv import subm_neighbor_idx, \
-        build_position_table
+    from uni3detr_tpu.ops.sparse_conv import (subm_neighbor_idx,
+                                              build_position_table)
     from uni3detr_tpu.ops import sparse_conv_pallas as scp
 
     rng = np.random.RandomState(0)
@@ -88,24 +93,31 @@ def main():
             np.float32)).astype(jnp.bfloat16)
         row = {}
         ref = None
-        for tile in (128, 256, 512, 1024):
-            scp.TILE = tile
-            scp._raw_packed.clear_cache()
+
+        def case(label, fn):
+            nonlocal ref
             try:
-                out = scp._raw_packed(x, nb, w)
+                out = fn(x, nb, w)
                 jax.block_until_ready(out)
+                got = np.asarray(out, np.float32)
                 if ref is None:
-                    ref = np.asarray(out, np.float32)
+                    ref = got
                 else:
-                    got = np.asarray(out, np.float32)
                     err = np.abs(got - ref).max()
-                    assert err < 2e-2, (tile, err)
-                row[f"TILE={tile}"] = round(timed(
-                    lambda x_, nb_, w_: scp._raw_packed(x_, nb_, w_),
-                    (x, nb, w)), 3)
+                    assert err < 2e-1, (label, err)
+                row[label] = round(timed(fn, (x, nb, w)), 3)
             except Exception as e:  # noqa: BLE001
-                row[f"TILE={tile}"] = f"fail: {type(e).__name__}"
-        scp.TILE = 512
+                row[label] = f"fail: {type(e).__name__}: {str(e)[:60]}"
+
+        for tile, win in ((512, 512), (256, 256), (128, 128), (256, 128)):
+            case(f"unpacked T={tile} W={win}",
+                 lambda x_, nb_, w_, t=tile, wn=win: scp._raw_unpacked(
+                     x_, nb_, w_, tile=t, win=wn))
+        R = 128 // scp._cpad(C)
+        for tile in sorted({512, 256, 128, max(128, 64 * R)}):
+            case(f"packed T={tile}",
+                 lambda x_, nb_, w_, t=tile: scp._raw_packed(
+                     x_, nb_, w_, tile=t))
         results[f"V={V},C={C}"] = row
         print(json.dumps({f"V={V},C={C}": row}), flush=True)
     print(json.dumps({"chip": jax.devices()[0].device_kind,

@@ -106,16 +106,17 @@ def _select_group(g_packed, lane_grp, R, Cp):
     return g
 
 
-def _win_rows(R: int) -> int:
+def _win_rows(R: int, tile: int | None = None) -> int:
     """Window rows per walk pass for packing factor R.
 
-    A tile's T=TILE queries land on ~TILE/R consecutive packed rows
+    A tile's T queries land on ~T/R consecutive packed rows
     (packed row = position // R), so a WIN-row window at R=8 computed an
     8x-too-wide one-hot matmul. Narrowing the window to the rows a tile
     can actually touch (plus boundary slack, rounded to the 128-lane MXU
     contraction) cut the positional packed conv 12.5 -> 4.5 ms at the
     nuScenes stage-1 shape (V=120k, C=16)."""
-    return max(128, -(-(TILE // R + 64) // 128) * 128)
+    tile = TILE if tile is None else tile
+    return max(128, -(-(tile // R + 64) // 128) * 128)
 
 
 def _walk(colps, w0, trips, src_ref, on_pass, win):
@@ -149,7 +150,7 @@ def _walk(colps, w0, trips, src_ref, on_pass, win):
 
 
 def _kernel_packed(info_ref, idx_ref, src_ref, w_ref, out_ref, g_ref, *,
-            K, v_dummy, R, Cp, NT):
+            K, v_dummy, R, Cp, NT, win):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -157,7 +158,6 @@ def _kernel_packed(info_ref, idx_ref, src_ref, w_ref, out_ref, g_ref, *,
     g_ref[:] = jnp.zeros_like(g_ref)
     GS = _group_size(K)
     base_i = (b * n_tiles + t) * (K // GS)
-    win = _win_rows(R)
     for grp in range(K // GS):
         # dummy col = v_dummy maps to an all-zero pad row: matching it
         # adds 0, so no validity mask is needed anywhere
@@ -181,17 +181,19 @@ def _kernel_packed(info_ref, idx_ref, src_ref, w_ref, out_ref, g_ref, *,
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _pack_inputs(features, neighbor_idx):
+def _pack_inputs(features, neighbor_idx, tile=None):
     """Lane-pack features; pad the rulebook to the tile grid."""
+    tile = TILE if tile is None else tile
     B, V, C = features.shape
     _, Vout, K = neighbor_idx.shape
     dtype = features.dtype
     Cp = _cpad(C)
     R = 128 // Cp
+    win = _win_rows(R, tile)
     # dummy row at index V; pad so packed rows are a multiple of 16 and
     # >= the walk window, plus ONE EXTRA WINDOW of zero rows so _walk's
     # disjoint windows never need an end clamp
-    VpP = max(-(-(V + 1) // (16 * R)) * 16, _win_rows(R)) + _win_rows(R)
+    VpP = max(-(-(V + 1) // (16 * R)) * 16, win) + win
     Vp = VpP * R
     feats = jnp.concatenate(
         [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
@@ -199,21 +201,20 @@ def _pack_inputs(features, neighbor_idx):
         feats = jnp.concatenate(
             [feats, jnp.zeros((B, Vp, Cp - C), dtype)], axis=2)
     packed = feats.reshape(B, VpP, R * Cp)
-    n_tiles = -(-Vout // TILE)
-    pad_rows = n_tiles * TILE - Vout
+    n_tiles = -(-Vout // tile)
+    pad_rows = n_tiles * tile - Vout
     idx = jnp.concatenate(
         [neighbor_idx,
          jnp.full((B, pad_rows, K), V, jnp.int32)], axis=1)
     # per-(batch, tile, offset-GROUP) packed window start + pass count
     # (the kernels' fori_loop trip bound — see _walk / _group_size)
     GS = _group_size(K)
-    tiled = idx.reshape(B, n_tiles, TILE, K // GS, GS)
+    tiled = idx.reshape(B, n_tiles, tile, K // GS, GS)
     big = jnp.where(tiled == V, jnp.iinfo(jnp.int32).max, tiled // R)
     starts = jnp.min(big, axis=(2, 4)).reshape(-1)
     starts = jnp.where(starts == jnp.iinfo(jnp.int32).max, 0, starts)
     ends = jnp.max(jnp.where(tiled == V, -1, tiled // R),
                    axis=(2, 4)).reshape(-1)
-    win = _win_rows(R)
     covered0 = (starts // 16) * 16
     trips = jnp.where(ends >= 0,
                       (ends + 1 - covered0 + win - 1) // win, 0)
@@ -221,18 +222,19 @@ def _pack_inputs(features, neighbor_idx):
     return packed, idx, info, n_tiles, Cp, R, VpP
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def _raw_packed(features, neighbor_idx, weights,
-                interpret: bool = False):
+                interpret: bool = False, tile: int | None = None):
     """features (B, V, C); neighbor_idx (B, Vout, K) with V = missing;
     weights (K, C, Cout). Returns (B, Vout, Cout). The batch folds into
     the kernel grid (one packed feature table resident per grid row)."""
+    tile = TILE if tile is None else tile
     B, V, C = features.shape
     _, Vout, K = neighbor_idx.shape
     Cout = weights.shape[-1]
     dtype = features.dtype
     packed, idx, info, n_tiles, Cp, R, VpP = _pack_inputs(
-        features, neighbor_idx)
+        features, neighbor_idx, tile)
     w = weights
     if Cp > C:
         w = jnp.concatenate(
@@ -241,22 +243,23 @@ def _raw_packed(features, neighbor_idx, weights,
         num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
+            pl.BlockSpec((1, tile, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, VpP, R * Cp), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K * Cp, Cout), lambda b, t, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, Cout), lambda b, t, s: (b, t, 0),
+        out_specs=pl.BlockSpec((1, tile, Cout), lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE, K * Cp), dtype)],
+        scratch_shapes=[pltpu.VMEM((tile, K * Cp), dtype)],
     )
     out = pl.pallas_call(
         functools.partial(_kernel_packed, K=K, v_dummy=V, R=R, Cp=Cp,
-                          NT=B * n_tiles * (K // _group_size(K))),
+                          NT=B * n_tiles * (K // _group_size(K)),
+                          win=_win_rows(R, tile)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, Cout), dtype),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, idx, packed, w.reshape(K * Cp, Cout).astype(dtype))
@@ -264,7 +267,7 @@ def _raw_packed(features, neighbor_idx, weights,
 
 
 def _gather_rows_kernel_packed(info_ref, idx_ref, src_ref, out_ref, *, K,
-                        v_dummy, R, Cp, NT):
+                        v_dummy, R, Cp, NT, win):
     """Weights-free variant: materialize the gathered rows (T, K*Cp)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -273,7 +276,6 @@ def _gather_rows_kernel_packed(info_ref, idx_ref, src_ref, out_ref, *, K,
     out_ref[0] = jnp.zeros_like(out_ref[0])
     GS = _group_size(K)
     base_i = (b * n_tiles + t) * (K // GS)
-    win = _win_rows(R)
     for grp in range(K // GS):
         cols = [ids[:, k:k + 1] for k in
                 range(grp * GS, (grp + 1) * GS)]
@@ -290,32 +292,35 @@ def _gather_rows_kernel_packed(info_ref, idx_ref, src_ref, out_ref, *, K,
               src_ref, on_pass, win)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _rows_packed(features, neighbor_idx, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def _rows_packed(features, neighbor_idx, interpret: bool = False,
+                 tile: int | None = None):
     """(B, V, C) x (B, Vout, K) -> gathered rows (B, Vout, K*C)."""
+    tile = TILE if tile is None else tile
     B, V, C = features.shape
     _, Vout, K = neighbor_idx.shape
     dtype = features.dtype
     packed, idx, info, n_tiles, Cp, R, VpP = _pack_inputs(
-        features, neighbor_idx)
+        features, neighbor_idx, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
+            pl.BlockSpec((1, tile, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, VpP, R * Cp), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, K * Cp),
+        out_specs=pl.BlockSpec((1, tile, K * Cp),
                                lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_gather_rows_kernel_packed, K=K, v_dummy=V, R=R,
-                          Cp=Cp, NT=B * n_tiles * (K // _group_size(K))),
+                          Cp=Cp, NT=B * n_tiles * (K // _group_size(K)),
+                          win=_win_rows(R, tile)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * Cp),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, K * Cp),
                                        dtype),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
@@ -329,13 +334,15 @@ def _rows_packed(features, neighbor_idx, interpret: bool = False):
 
 
 
-def _row_info(idx, V, B, n_tiles, K):
+def _row_info(idx, V, B, n_tiles, K, tile=None, win=None):
     """Per-(batch, tile, offset-GROUP) raw-row window start + pass count
-    for the unpacked kernels (win = WIN rows; see _pack_inputs for the
+    for the unpacked kernels (win rows; see _pack_inputs for the
     packed-row analogue). Groups of _group_size(K) offsets share one
     window walk; bounds are exact mins/maxes over the group."""
+    tile = TILE if tile is None else tile
+    win = WIN if win is None else win
     GS = _group_size(K)
-    tiled = idx.reshape(B, n_tiles, TILE, K // GS, GS)
+    tiled = idx.reshape(B, n_tiles, tile, K // GS, GS)
     big = jnp.where(tiled == V, jnp.iinfo(jnp.int32).max, tiled)
     starts = jnp.min(big, axis=(2, 4)).reshape(-1)   # (B*n_tiles*NG,)
     starts = jnp.where(starts == jnp.iinfo(jnp.int32).max, 0, starts)
@@ -343,12 +350,12 @@ def _row_info(idx, V, B, n_tiles, K):
                    axis=(2, 4)).reshape(-1)
     covered0 = (starts // 16) * 16
     trips = jnp.where(ends >= 0,
-                      (ends + 1 - covered0 + WIN - 1) // WIN, 0)
+                      (ends + 1 - covered0 + win - 1) // win, 0)
     return jnp.concatenate([starts, trips])
 
 
 def _kernel_unpacked(info_ref, idx_ref, src_ref, w_ref, out_ref, *, K,
-                     v_dummy, NT):
+                     v_dummy, NT, win):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -356,7 +363,7 @@ def _kernel_unpacked(info_ref, idx_ref, src_ref, w_ref, out_ref, *, K,
     Vp, C = src_ref.shape[1:]      # row v_dummy is the zero dummy
     Cout = out_ref.shape[-1]
     ids = idx_ref[0]               # (T, K) int32
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, win), 1)
     GS = _group_size(K)
     base_i = (b * n_tiles + t) * (K // GS)
     # disjoint windows (see _walk): a dummy col hits only the zero
@@ -368,8 +375,8 @@ def _kernel_unpacked(info_ref, idx_ref, src_ref, w_ref, out_ref, *, K,
         covered0 = (jnp.maximum(info_ref[base_i + grp], 0) // 16) * 16
 
         def body(i, a, cols=cols, covered0=covered0, grp=grp):
-            base = pl.multiple_of(covered0 + i * WIN, 16)
-            window = src_ref[0, pl.ds(base, WIN), :]   # (WIN, C)
+            base = pl.multiple_of(covered0 + i * win, 16)
+            window = src_ref[0, pl.ds(base, win), :]   # (win, C)
             for j, col in enumerate(cols):
                 onehot = (col - base == col_iota).astype(src_ref.dtype)
                 g = jax.lax.dot_general(
@@ -385,47 +392,51 @@ def _kernel_unpacked(info_ref, idx_ref, src_ref, w_ref, out_ref, *, K,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "win"))
 def _raw_unpacked(features, neighbor_idx, weights,
-                            interpret: bool = False):
+                  interpret: bool = False, tile: int | None = None,
+                  win: int | None = None):
     """features (B, V, C); neighbor_idx (B, Vout, K) with V = missing;
     weights (K, C, Cout). Returns (B, Vout, Cout). The batch folds into
     the kernel grid (one feature table resident per grid row)."""
+    tile = TILE if tile is None else tile
+    win = WIN if win is None else win
     B, V, C = features.shape
     _, Vout, K = neighbor_idx.shape
     Cout = weights.shape[-1]
     dtype = features.dtype
     # dummy row at index V; then pad rows so Vp is a multiple of 16 and
-    # >= WIN (keeps every clamped window start 16-aligned and in range)
-    Vp = max(-(-(V + 1) // 16) * 16, WIN) + WIN
+    # >= win (keeps every clamped window start 16-aligned and in range)
+    Vp = max(-(-(V + 1) // 16) * 16, win) + win
     padded = jnp.concatenate(
         [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
-    n_tiles = -(-Vout // TILE)
-    pad_rows = n_tiles * TILE - Vout
+    n_tiles = -(-Vout // tile)
+    pad_rows = n_tiles * tile - Vout
     idx = jnp.concatenate(
         [neighbor_idx,
          jnp.full((B, pad_rows, K), V, jnp.int32)], axis=1)  # dummies
-    info = _row_info(idx, V, B, n_tiles, K)
+    info = _row_info(idx, V, B, n_tiles, K, tile, win)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
+            pl.BlockSpec((1, tile, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp, C), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C, Cout), lambda b, t, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, Cout), lambda b, t, s: (b, t, 0),
+        out_specs=pl.BlockSpec((1, tile, Cout), lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_kernel_unpacked, K=K, v_dummy=V,
-                          NT=B * n_tiles * (K // _group_size(K))),
+                          NT=B * n_tiles * (K // _group_size(K)),
+                          win=win),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, Cout), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, Cout), dtype),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, idx, padded, weights.astype(dtype))
@@ -433,7 +444,7 @@ def _raw_unpacked(features, neighbor_idx, weights,
 
 
 def _gather_rows_kernel_unpacked(info_ref, idx_ref, src_ref, out_ref, *,
-                        K, v_dummy, NT):
+                        K, v_dummy, NT, win):
     """Weights-free variant: materialize the gathered rows (T, K*C)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -441,7 +452,7 @@ def _gather_rows_kernel_unpacked(info_ref, idx_ref, src_ref, out_ref, *,
     T = idx_ref.shape[1]
     Vp, C = src_ref.shape[1:]
     ids = idx_ref[0]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, WIN), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (T, win), 1)
     out_ref[0] = jnp.zeros((T, K * C), out_ref.dtype)
     GS = _group_size(K)
     base_i = (b * n_tiles + t) * (K // GS)
@@ -451,8 +462,8 @@ def _gather_rows_kernel_unpacked(info_ref, idx_ref, src_ref, out_ref, *,
         covered0 = (jnp.maximum(info_ref[base_i + grp], 0) // 16) * 16
 
         def body(i, carry, cols=cols, covered0=covered0, grp=grp):
-            base = pl.multiple_of(covered0 + i * WIN, 16)
-            window = src_ref[0, pl.ds(base, WIN), :]
+            base = pl.multiple_of(covered0 + i * win, 16)
+            window = src_ref[0, pl.ds(base, win), :]
             for j, col in enumerate(cols):
                 k = grp * GS + j
                 onehot = (col - base == col_iota).astype(src_ref.dtype)
@@ -466,38 +477,42 @@ def _gather_rows_kernel_unpacked(info_ref, idx_ref, src_ref, out_ref, *,
         jax.lax.fori_loop(0, info_ref[NT + base_i + grp], body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _rows_unpacked(features, neighbor_idx, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "win"))
+def _rows_unpacked(features, neighbor_idx, interpret: bool = False,
+                   tile: int | None = None, win: int | None = None):
     """(B, V, C) x (B, Vout, K) -> gathered rows (B, Vout, K*C)."""
+    tile = TILE if tile is None else tile
+    win = WIN if win is None else win
     B, V, C = features.shape
     _, Vout, K = neighbor_idx.shape
     dtype = features.dtype
-    Vp = max(-(-(V + 1) // 16) * 16, WIN) + WIN
+    Vp = max(-(-(V + 1) // 16) * 16, win) + win
     padded = jnp.concatenate(
         [features, jnp.zeros((B, Vp - V, C), dtype)], axis=1)
-    n_tiles = -(-Vout // TILE)
-    pad_rows = n_tiles * TILE - Vout
+    n_tiles = -(-Vout // tile)
+    pad_rows = n_tiles * tile - Vout
     idx = jnp.concatenate(
         [neighbor_idx, jnp.full((B, pad_rows, K), V, jnp.int32)], axis=1)
-    info = _row_info(idx, V, B, n_tiles, K)
+    info = _row_info(idx, V, B, n_tiles, K, tile, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE, K), lambda b, t, s: (b, t, 0),
+            pl.BlockSpec((1, tile, K), lambda b, t, s: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vp, C), lambda b, t, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, K * C),
+        out_specs=pl.BlockSpec((1, tile, K * C),
                                lambda b, t, s: (b, t, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_gather_rows_kernel_unpacked, K=K, v_dummy=V,
-                          NT=B * n_tiles * (K // _group_size(K))),
+                          NT=B * n_tiles * (K // _group_size(K)),
+                          win=win),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, K * C), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, K * C), dtype),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(info, idx, padded)
