@@ -198,6 +198,48 @@ def test_nms3d_against_oracle():
     np.testing.assert_array_equal(keep, oracle)
 
 
+def test_nms_wavefront_matches_serial():
+    """The wavefront suppression (data-dependent while_loop) must produce
+    the exact serial-greedy keep set on adversarial synthetic IoU
+    matrices: dense overlap (long suppression chains), duplicated scores
+    (argsort tie-break), invalid rows, and under vmap (the per-class
+    batched use in train/coder.py::post_process)."""
+    from uni3detr_tpu.ops.nms import (_greedy_suppress,
+                                      _greedy_suppress_serial)
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        N = [7, 40, 96][trial % 3]
+        sym = rng.rand(N, N).astype(np.float32)
+        iou = np.maximum(sym, sym.T) * (rng.rand(N, N) < 0.4)
+        iou = np.maximum(iou, iou.T)
+        np.fill_diagonal(iou, 1.0)
+        scores = np.round(rng.rand(N).astype(np.float32), 1)  # many ties
+        valid = rng.rand(N) > 0.15
+        thr = [0.3, 0.5, 0.05][trial % 3]
+        got = np.asarray(_greedy_suppress(
+            jnp.asarray(iou), jnp.asarray(scores), jnp.asarray(valid),
+            thr))
+        want = np.asarray(_greedy_suppress_serial(
+            jnp.asarray(iou), jnp.asarray(scores), jnp.asarray(valid),
+            thr))
+        np.testing.assert_array_equal(got, want)
+    # vmapped over class masks, as post_process uses it
+    N = 64
+    sym = rng.rand(N, N).astype(np.float32)
+    iou = np.maximum(sym, sym.T)
+    np.fill_diagonal(iou, 1.0)
+    scores = rng.rand(N).astype(np.float32)
+    labels = rng.randint(0, 4, N)
+    masks = jnp.asarray(labels[None, :] == np.arange(4)[:, None])
+    got = jax.vmap(lambda m: _greedy_suppress(
+        jnp.asarray(iou), jnp.asarray(scores), m, 0.4))(masks)
+    for j in range(4):
+        want = _greedy_suppress_serial(
+            jnp.asarray(iou), jnp.asarray(scores), masks[j], 0.4)
+        np.testing.assert_array_equal(np.asarray(got[j]),
+                                      np.asarray(want))
+
+
 def test_nms_bev_runs():
     rng = np.random.RandomState(6)
     boxes = np.concatenate([

@@ -3,8 +3,8 @@
 The reference calls mmcv CUDA ``nms3d`` (uni3detr_head.py:861) and
 ``nms_bev`` (merge_all_augs.py:70-83), plus a python-loop soft-NMS
 (uni3detr_head.py:796-823). Here the IoU matrix is computed once with the
-exact rotated-polygon kernel and suppression runs as a fixed-bound
-`lax.fori_loop` over score order — one XLA program, static shapes.
+exact rotated-polygon kernel and suppression runs as a data-dependent
+wavefront over the suppression DAG — one XLA program, static shapes.
 """
 from __future__ import annotations
 
@@ -16,11 +16,12 @@ import jax.numpy as jnp
 from ..geom.iou import iou3d_rotated, iou_bev_rotated
 
 
-def _greedy_suppress(iou, scores, valid, iou_thr):
-    """Greedy NMS given a precomputed IoU matrix.
+def _greedy_suppress_serial(iou, scores, valid, iou_thr):
+    """Reference greedy NMS: one `fori_loop` step per box in score order.
 
-    Processes boxes in descending score order; a box is kept if no
-    higher-scoring kept box overlaps it above iou_thr. Returns keep (N,).
+    Exact semantics oracle for :func:`_greedy_suppress`; N sequential
+    steps make it latency-bound on TPU (~N x 2-3 us regardless of box
+    count actually alive).
     """
     N = scores.shape[0]
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
@@ -38,6 +39,45 @@ def _greedy_suppress(iou, scores, valid, iou_thr):
     alive0 = jnp.ones((N,), bool)
     keep0 = jnp.zeros((N,), bool)
     _, keep = jax.lax.fori_loop(0, N, body, (alive0, keep0))
+    return keep
+
+
+def _greedy_suppress(iou, scores, valid, iou_thr):
+    """Greedy NMS given a precomputed IoU matrix — wavefront form.
+
+    Identical keep set to :func:`_greedy_suppress_serial` (same
+    descending-score order, argsort index tie-break), but instead of one
+    sequential step per box it decides, per `while_loop` iteration, EVERY
+    box whose higher-ranked overlapping boxes are all decided (a ready
+    box is kept iff no higher-ranked KEPT box overlaps it). Iteration
+    count = longest suppression chain in the score-ordered overlap DAG
+    (typically <10 at detection thresholds vs N=1000 serial steps); each
+    iteration is full-width (N, N) vector work. Progress is guaranteed:
+    the minimal-rank undecided box is always ready.
+    """
+    N = scores.shape[0]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+    # M[j, k]: j (valid, strictly higher-ranked) can suppress k (valid)
+    overl = (iou > iou_thr) & valid[:, None] & valid[None, :]
+    M = overl & (rank[:, None] < rank[None, :])
+
+    def cond(state):
+        decided, _ = state
+        return ~jnp.all(decided)
+
+    def body(state):
+        decided, kept = state
+        blocked = jnp.any(M & ~decided[:, None], axis=0)
+        ready = ~decided & ~blocked
+        sup = jnp.any(M & kept[:, None], axis=0)
+        kept = kept | (ready & ~sup)
+        return decided | ready, kept
+
+    decided0 = ~valid
+    kept0 = jnp.zeros((N,), bool)
+    _, keep = jax.lax.while_loop(cond, body, (decided0, kept0))
     return keep
 
 
