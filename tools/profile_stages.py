@@ -11,6 +11,13 @@ follow profiling"). Stages:
 Each timed program chains a data dependence on its input each iteration
 (same honest-scan methodology as bench.py).
 
+Each stage also reports its roofline position (VERDICT r4 #2): FLOPs and
+bytes-accessed from XLA's cost analysis of the compiled stage program,
+the speed-of-light time under the chip's MXU peak and HBM bandwidth
+(sol = max of the two), which roof binds, and measured/sol. XLA's
+"bytes accessed" is post-fusion analytic traffic (operands + outputs of
+fused computations), the right denominator for an HBM roof.
+
 Run: ``python tools/profile_stages.py [preset]`` on the TPU machine.
 """
 import json
@@ -23,6 +30,33 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 N_ITERS = 10
+
+# (bf16 peak TFLOP/s, HBM GB/s) by device_kind substring
+CHIP_ROOFS = {
+    "v5 lite": (197.0, 819.0), "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0), "v4": (275.0, 1228.0),
+    "v6 lite": (918.0, 1638.0), "v6e": (918.0, 1638.0),
+}
+
+
+def chip_roofs(kind: str):
+    kind = kind.lower()
+    for key, roofs in CHIP_ROOFS.items():
+        if key in kind:
+            return roofs
+    return (197.0, 819.0)
+
+
+def stage_cost(fn, *args):
+    """(flops, bytes accessed) from XLA cost analysis of jit(fn)(*args)."""
+    cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", 0.0) or 0.0), \
+        float(cost.get("bytes accessed", 0.0) or 0.0)
+
+
+import jax  # noqa: E402  (module-level for stage_cost; conftest not in play)
 
 
 def main():
@@ -216,12 +250,40 @@ def main():
 
     results["decode_nms"] = timed(s_decode, outs, perturb=perturb_outs)
 
+    costs = {
+        "voxelize": stage_cost(s_voxelize, points),
+        "encoder_sparse": stage_cost(s_encoder, feats, coords, vmask),
+        "backbone_neck": stage_cost(s_dense, volume),
+        "fps_raw": stage_cost(s_fps_raw, points),
+        "fps_voxel": stage_cost(s_fps_voxel, coords, vmask),
+        "head": stage_cost(s_head, fused, fpsb),
+        "decode_nms": stage_cost(s_decode, outs),
+    }
+    peak_tflops, hbm_gbps = chip_roofs(jax.devices()[0].device_kind)
+    roofline = {}
+    for k, ms in results.items():
+        flops, nbytes = costs[k]
+        sol_mxu = flops / (peak_tflops * 1e12) * 1e3     # ms
+        sol_hbm = nbytes / (hbm_gbps * 1e9) * 1e3        # ms
+        sol = max(sol_mxu, sol_hbm)
+        roofline[k] = {
+            "gflops": round(flops / 1e9, 2),
+            "mbytes": round(nbytes / 1e6, 2),
+            "sol_mxu_ms": round(sol_mxu, 3),
+            "sol_hbm_ms": round(sol_hbm, 3),
+            "bound": "mxu" if sol_mxu >= sol_hbm else "hbm",
+            "x_over_sol": round(ms / sol, 1) if sol > 0 else None,
+        }
+
     total = sum(results.values())
     print(json.dumps({"preset": name,
                       "chip": jax.devices()[0].device_kind,
                       "stages_ms": {k: round(v, 2)
                                     for k, v in results.items()},
-                      "sum_ms": round(total, 2)}))
+                      "sum_ms": round(total, 2),
+                      "roofline": roofline,
+                      "roofs": {"peak_bf16_tflops": peak_tflops,
+                                "hbm_gbps": hbm_gbps}}))
 
 
 if __name__ == "__main__":
