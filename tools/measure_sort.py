@@ -9,6 +9,7 @@ choice follows data.
 
 Run: ``python tools/measure_sort.py`` on the TPU host.
 """
+import functools
 import json
 import os
 import sys
@@ -30,21 +31,27 @@ def main():
     results = {}
 
     def timed(name, fn, *args):
-        @jax.jit
-        def run(a):
+        # scalar host fetch ends the timed region (axon: block_until_ready
+        # alone does not reliably wait — see bench.py "host fetch forces
+        # true completion"); fetch latency amortizes over N_ITERS
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(a, n):
             def body(c, i):
                 out = fn(*c)
                 first = jax.tree_util.tree_leaves(out)[0]
                 bump = (first.ravel()[0].astype(jnp.int32) & 1)
                 return (c[0] + bump, *c[1:]), ()
-            final, _ = lax.scan(body, a, jnp.arange(N_ITERS))
-            return final
-        r = run(args)
-        jax.block_until_ready(r)
+            final, _ = lax.scan(body, a, jnp.arange(n))
+            return final[0].ravel()[0]
+        # 2N-minus-N difference cancels dispatch + fetch overhead
+        float(np.asarray(run(args, N_ITERS)))
+        float(np.asarray(run(args, 2 * N_ITERS)))
         t0 = time.perf_counter()
-        r = run(args)
-        jax.block_until_ready(r)
-        ms = (time.perf_counter() - t0) / N_ITERS * 1e3
+        float(np.asarray(run(args, N_ITERS)))
+        t1 = time.perf_counter()
+        float(np.asarray(run(args, 2 * N_ITERS)))
+        t2 = time.perf_counter()
+        ms = ((t2 - t1) - (t1 - t0)) / N_ITERS * 1e3
         results[name] = round(ms, 3)
         print(f"{name}: {ms:.3f} ms", flush=True)
 

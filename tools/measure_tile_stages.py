@@ -14,6 +14,7 @@ Round-5 hypothesis: the one-hot gather's MXU cost is its AREA —
 
 Run: ``python tools/measure_tile_stages.py`` on the TPU host.
 """
+import functools
 import json
 import os
 import sys
@@ -56,20 +57,29 @@ def main():
     rng = np.random.RandomState(0)
 
     def timed(fn, args):
-        @jax.jit
-        def run(a):
+        # NOTE: a scalar HOST FETCH ends the timed region — on the axon
+        # remote-TPU platform block_until_ready alone does not reliably
+        # wait for execution (bench.py learned the same; its comment
+        # "host fetch forces true completion"). The fetch latency is
+        # amortized over N_ITERS chained iterations.
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(a, n):
             def body(a, i):
                 out = fn(*a)
                 return ((a[0] + out.astype(jnp.float32).sum() * 1e-9
                          ).astype(a[0].dtype), *a[1:]), ()
-            final, _ = jax.lax.scan(body, a, jnp.arange(N_ITERS))
-            return final
-        r = run(args)
-        jax.block_until_ready(r)
+            final, _ = jax.lax.scan(body, a, jnp.arange(n))
+            return final[0].astype(jnp.float32).ravel()[0]
+        # difference of 2N-iter and N-iter runs cancels the constant
+        # dispatch + fetch overhead exactly
+        float(np.asarray(run(args, N_ITERS)))
+        float(np.asarray(run(args, 2 * N_ITERS)))
         t0 = time.perf_counter()
-        r = run(args)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / N_ITERS * 1e3
+        float(np.asarray(run(args, N_ITERS)))
+        t1 = time.perf_counter()
+        float(np.asarray(run(args, 2 * N_ITERS)))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / N_ITERS * 1e3
 
     # SUN RGB-D per-stage (grid, V, C); grids follow the (2,2,2) strides
     cases = [((128, 320, 320), 40000, 16),

@@ -126,19 +126,27 @@ def main(preset="uni3detr_sunrgbd"):
         return out
 
     def timed(fn, args, perturb):
-        @jax.jit
-        def run(a):
+        # host-fetch timing, 2N-minus-N overhead cancellation (axon:
+        # block_until_ready alone does not reliably wait; bench.py's
+        # "host fetch forces true completion")
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("n",))
+        def run(a, n):
             def body(a, i):
                 out = fn(*a)
                 return perturb(a, out, i), ()
-            final, _ = jax.lax.scan(body, a, jnp.arange(N_ITERS))
-            return final
-        r = run(args)
-        jax.block_until_ready(r)
+            final, _ = jax.lax.scan(body, a, jnp.arange(n))
+            return jax.tree_util.tree_leaves(final)[0].astype(
+                jnp.float32).ravel()[0]
+        float(np.asarray(run(args, N_ITERS)))
+        float(np.asarray(run(args, 2 * N_ITERS)))
         t0 = time.perf_counter()
-        r = run(args)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / N_ITERS * 1e3
+        float(np.asarray(run(args, N_ITERS)))
+        t1 = time.perf_counter()
+        float(np.asarray(run(args, 2 * N_ITERS)))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / N_ITERS * 1e3
 
     def leafsum(tree):
         s = jnp.float32(0.0)

@@ -198,21 +198,35 @@ def main():
     _ = jax.jit(s_decode)(outs)
 
     def timed(fn, *args, perturb):
-        """Time N chained calls of jit(fn) inside one scanned program."""
-        @jax.jit
-        def run(args):
+        """Time N chained calls of jit(fn) inside one scanned program.
+
+        A scalar HOST FETCH ends each timed region — on the axon
+        remote-TPU platform ``block_until_ready`` returns without
+        waiting for execution (verified: a 128 MB reduce "measured"
+        6 us/iter under it; bench.py's "host fetch forces true
+        completion" comment is the same finding). The 2N-minus-N
+        difference cancels the constant dispatch + tunnel-fetch
+        overhead (~30 ms) exactly.
+        """
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("n",))
+        def run(args, n):
             def body(a, i):
                 out = fn(*a)
                 return perturb(a, out, i), ()
-            final, _ = jax.lax.scan(body, args, jnp.arange(N_ITERS))
-            return final
+            final, _ = jax.lax.scan(body, args, jnp.arange(n))
+            return jax.tree_util.tree_leaves(final)[0].astype(
+                jnp.float32).ravel()[0]
         args = jax.tree_util.tree_map(jnp.asarray, args)
-        r = run(args)
-        jax.block_until_ready(r)
+        float(np.asarray(run(args, N_ITERS)))
+        float(np.asarray(run(args, 2 * N_ITERS)))
         t0 = time.perf_counter()
-        r = run(args)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / N_ITERS * 1e3
+        float(np.asarray(run(args, N_ITERS)))
+        t1 = time.perf_counter()
+        float(np.asarray(run(args, 2 * N_ITERS)))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / N_ITERS * 1e3
 
     def leaf0(tree):
         return jax.tree_util.tree_leaves(tree)[0]
