@@ -57,20 +57,22 @@ def main(preset: str = "uni3detr_sunrgbd", batch_size=2):
 
     batch_dev = jax.device_put(batch)
 
-    @jax.jit
-    def run(state, key):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(state, key, n=N_STEPS):
         def body(carry, i):
             st, _ = carry
             st, logs = step(st, batch_dev, jax.random.fold_in(key, i))
             return (st, logs["total_loss"]), ()
         (st, loss), _ = jax.lax.scan(
-            body, (state, jnp.float32(0.0)), jnp.arange(N_STEPS))
+            body, (state, jnp.float32(0.0)), jnp.arange(n))
         return loss
 
     # flops of one step = scan-program flops / N (avoids a second large
     # compile of the bare step; the scan body IS the step)
     flops = 0.0
-    lowered = run.lower(state, jax.random.PRNGKey(1))
+    lowered = run.lower(state, jax.random.PRNGKey(1), N_STEPS)
     compiled = lowered.compile()
     try:
         cost = compiled.cost_analysis()
@@ -80,10 +82,18 @@ def main(preset: str = "uni3detr_sunrgbd", batch_size=2):
     except Exception:
         pass
 
-    loss = float(np.asarray(run(state, jax.random.PRNGKey(1))))  # warmup
+    # warmups (host fetch forces true completion), then time the N-step
+    # and 2N-step programs and difference — cancels the constant
+    # dispatch + tunnel-fetch overhead (~30 ms on axon; at N=5 that
+    # would otherwise inflate the step by ~6 ms)
+    loss = float(np.asarray(run(state, jax.random.PRNGKey(1), N_STEPS)))
+    float(np.asarray(run(state, jax.random.PRNGKey(3), 2 * N_STEPS)))
     t0 = time.perf_counter()
-    loss = float(np.asarray(run(state, jax.random.PRNGKey(2))))
-    dt = (time.perf_counter() - t0) / N_STEPS
+    loss = float(np.asarray(run(state, jax.random.PRNGKey(2), N_STEPS)))
+    t1 = time.perf_counter()
+    float(np.asarray(run(state, jax.random.PRNGKey(4), 2 * N_STEPS)))
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / N_STEPS
 
     kind = jax.devices()[0].device_kind
     peak = chip_peak_tflops(kind)

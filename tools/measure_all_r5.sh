@@ -29,4 +29,8 @@ run python tools/measure_matcher_tpu.py
 # spatial-sharding 1-chip constraint overhead (VERDICT r4 #6; the
 # 8-virtual-CPU scaling table comes from the same tool under JAX_PLATFORMS=cpu)
 run python tools/measure_spatial_sharding.py
+# kernel-level attribution + tuning sweeps (honest host-fetch harness)
+run python tools/profile_encoder_r5.py uni3detr_sunrgbd
+run python tools/measure_tile_stages.py
+run python tools/measure_sort.py
 echo DONE | tee -a "$OUT"

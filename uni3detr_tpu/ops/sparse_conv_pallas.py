@@ -1217,17 +1217,27 @@ def _ids_bwd(bwd_flip, res, g):
 gather_conv_ids.defvjp(_ids_fwd, _ids_bwd)
 
 
+_KERNEL_OVERRIDE = __import__("os").environ.get("UNI3DETR_CONV_KERNEL", "")
+
+
 def _gather_conv_pallas_raw(features, neighbor_idx, weights,
                             interpret: bool = False):
     """Dispatch: the unpacked kernel when the plain table fits VMEM
     (faster — no R-way lane-group selects; measured 107.5 vs 127.7
     ms/scene e2e on SUN RGB-D), else the lane-packed kernel whose table
-    is R=128/C times smaller (nuScenes' 120k-voxel stages)."""
-    if _unpacked_fits(features.shape[1]):
-        return _raw_unpacked(features, neighbor_idx, weights,
-                             interpret=interpret)
-    return _raw_packed(features, neighbor_idx, weights,
-                       interpret=interpret)
+    is R=128/C times smaller (nuScenes' 120k-voxel stages).
+    ``UNI3DETR_CONV_KERNEL=packed|unpacked`` forces one kernel for
+    measurement A/Bs (unpacked still requires the table to fit)."""
+    use_packed = not _unpacked_fits(features.shape[1])
+    if _KERNEL_OVERRIDE == "packed":
+        use_packed = True
+    elif _KERNEL_OVERRIDE == "packed_c32" and features.shape[2] >= 32:
+        use_packed = True
+    if use_packed:
+        return _raw_packed(features, neighbor_idx, weights,
+                           interpret=interpret)
+    return _raw_unpacked(features, neighbor_idx, weights,
+                         interpret=interpret)
 
 
 def gather_rows_pallas(features, neighbor_idx, interpret: bool = False):
