@@ -124,6 +124,26 @@ def test_downsample_budget_truncates():
     assert np.asarray(om).sum() <= 8
 
 
+def test_downsample_sites_dense_matches_sort():
+    """Dense maxpool+compaction route == candidate-sort route exactly
+    (site set, ascending order, budget truncation, empty input)."""
+    from uni3detr_tpu.ops.sparse_conv import downsample_sites_dense
+    rng = np.random.RandomState(7)
+    for n, budget, padding in [(30, 64, (1, 1, 1)), (30, 64, (0, 1, 1)),
+                               (50, 12, (1, 1, 1)), (1, 8, (1, 0, 1)),
+                               (0, 8, (1, 1, 1)), (60, 300, (1, 1, 1))]:
+        coords, mask = _random_sites(rng, n, max(n, 4))
+        a_oc, a_om, a_og = downsample_sites(
+            jnp.asarray(coords), jnp.asarray(mask), GRID, padding, budget)
+        b_oc, b_om, b_og = downsample_sites_dense(
+            jnp.asarray(coords), jnp.asarray(mask), GRID, padding, budget)
+        assert a_og == b_og
+        np.testing.assert_array_equal(np.asarray(a_om), np.asarray(b_om))
+        np.testing.assert_array_equal(
+            np.asarray(a_oc)[np.asarray(a_om)],
+            np.asarray(b_oc)[np.asarray(b_om)], err_msg=str((n, padding)))
+
+
 def test_dense_impl_matches_gather_impl():
     """SparseEncoderHD(impl='dense') == impl='gather' at active sites with
     the SAME params (checkpoint-interchangeable by construction)."""

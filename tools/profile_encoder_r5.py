@@ -33,7 +33,8 @@ def main(preset="uni3detr_sunrgbd"):
     from uni3detr_tpu.presets import PRESETS
     from uni3detr_tpu.models.sparse_encoder import SparseEncoderHD
     from uni3detr_tpu.ops.sparse_conv import (
-        linear_ids, subm_query_ids, strided_query_ids, downsample_sites)
+        linear_ids, subm_query_ids, strided_query_ids,
+        downsample_sites_auto as downsample_sites)
     from uni3detr_tpu.ops.sparse_conv_pallas import (match_positions,
                                                      _raw_packed)
     from uni3detr_tpu.ops.voxelize import hard_voxelize

@@ -250,7 +250,12 @@ def main():
         perturb=lambda a, out, i: (a[0] + out.sum() * 1e-9,))
     results["fps_voxel"] = timed(
         s_fps_voxel, coords, vmask,
-        perturb=lambda a, out, i: (a[0], a[1]))
+        # data-dependent no-op select: chains the (int) output into the
+        # carry so the stage cannot be dead-code-eliminated (the old
+        # discard-perturb let XLA delete the whole stage)
+        perturb=lambda a, out, i: (
+            jnp.where(leaf0(out).astype(jnp.float32).sum() > 1e30,
+                      a[0] + 1, a[0]), a[1]))
     results["head"] = timed(
         s_head, fused, fpsb,
         perturb=lambda a, out, i: (
@@ -264,6 +269,23 @@ def main():
 
     results["decode_nms"] = timed(s_decode, outs, perturb=perturb_outs)
 
+    # whole forward (voxelize -> ... -> decode+NMS) in ONE program under
+    # the SAME harness: the honest e2e to compare against the stage sum
+    # (a gap means inter-stage glue / combined-program scheduling, not a
+    # stage) and against bench.py (whose extra work is the on-device
+    # input generation).
+    def s_full(pts):
+        outs_f = model.apply(variables, pts, pts_mask, train=False,
+                             random_points=rp)
+        b_, s_, l_, v_ = decode_predictions(outs_f, cfg)
+        return post_process(b_, s_, l_, v_, cfg)
+
+    results["full_model"] = timed(
+        s_full, points,
+        perturb=lambda a, out, i: (
+            a[0] + jnp.nan_to_num(out[1].astype(jnp.float32)).sum()
+            * 1e-9,))
+
     costs = {
         "voxelize": stage_cost(s_voxelize, points),
         "encoder_sparse": stage_cost(s_encoder, feats, coords, vmask),
@@ -276,6 +298,8 @@ def main():
     peak_tflops, hbm_gbps = chip_roofs(jax.devices()[0].device_kind)
     roofline = {}
     for k, ms in results.items():
+        if k not in costs:
+            continue
         flops, nbytes = costs[k]
         sol_mxu = flops / (peak_tflops * 1e12) * 1e3     # ms
         sol_hbm = nbytes / (hbm_gbps * 1e9) * 1e3        # ms
@@ -289,7 +313,7 @@ def main():
             "x_over_sol": round(ms / sol, 1) if sol > 0 else None,
         }
 
-    total = sum(results.values())
+    total = sum(v for k, v in results.items() if k in costs)
     print(json.dumps({"preset": name,
                       "chip": jax.devices()[0].device_kind,
                       "stages_ms": {k: round(v, 2)

@@ -21,9 +21,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.sparse_conv import (
-    subm_neighbor_idx, gather_conv, downsample_sites, strided_neighbor_idx,
-    strided_inverse_neighbor_idx, build_position_table, linear_ids,
-    subm_query_ids, strided_query_ids, strided_inverse_query_ids,
+    subm_neighbor_idx, gather_conv, downsample_sites_auto,
+    strided_neighbor_idx, strided_inverse_neighbor_idx,
+    build_position_table, linear_ids, subm_query_ids, strided_query_ids,
+    strided_inverse_query_ids,
 )
 from ..ops.voxelize import scatter_to_dense
 from .layers import MaskedBatchNorm
@@ -223,8 +224,8 @@ class SparseEncoderHD(nn.Module):
                     budget = min(budget, self.budget_caps[i])
                 budget = max(budget, 256)
                 new_coords, new_mask = jax.vmap(
-                    lambda c, m: downsample_sites(c, m, grid, pad,
-                                                  budget)[:2])(coords, vmask)
+                    lambda c, m: downsample_sites_auto(
+                        c, m, grid, pad, budget)[:2])(coords, vmask)
                 new_grid = tuple(
                     (g + 2 * p - 3) // 2 + 1 for g, p in zip(grid, pad))
                 new_ctx = site_ctx(new_coords, new_mask, new_grid,

@@ -1220,32 +1220,48 @@ gather_conv_ids.defvjp(_ids_fwd, _ids_bwd)
 _KERNEL_OVERRIDE = __import__("os").environ.get("UNI3DETR_CONV_KERNEL", "")
 
 
+def _conv_tile(C: int) -> int:
+    """Production tile for the lane-packed positional kernels.
+
+    Honest host-fetch tile sweep at the SUN RGB-D stage shapes with
+    clustered ids (measurements/r5_tpu_part3.log, TPU v5e): packed
+    T=256 wins at C=16 (1.16 ms vs 2.62 unpacked-512 at V=40k) —
+    R=8 keeps the walk window at the 128-lane floor so T=256 halves
+    the one-hot area without raising the pass count bound; T=512 wins
+    at C>=32 (1.46 vs 2.12 at V=28k/C32, 0.35 vs 0.93 at V=12k/C64).
+    """
+    return 256 if _cpad(C) <= 16 else 512
+
+
 def _gather_conv_pallas_raw(features, neighbor_idx, weights,
                             interpret: bool = False):
-    """Dispatch: the unpacked kernel when the plain table fits VMEM
-    (faster — no R-way lane-group selects; measured 107.5 vs 127.7
-    ms/scene e2e on SUN RGB-D), else the lane-packed kernel whose table
-    is R=128/C times smaller (nuScenes' 120k-voxel stages).
-    ``UNI3DETR_CONV_KERNEL=packed|unpacked`` forces one kernel for
-    measurement A/Bs (unpacked still requires the table to fit)."""
-    use_packed = not _unpacked_fits(features.shape[1])
-    if _KERNEL_OVERRIDE == "packed":
-        use_packed = True
-    elif _KERNEL_OVERRIDE == "packed_c32" and features.shape[2] >= 32:
-        use_packed = True
-    if use_packed:
-        return _raw_packed(features, neighbor_idx, weights,
-                           interpret=interpret)
-    return _raw_unpacked(features, neighbor_idx, weights,
-                         interpret=interpret)
+    """Dispatch: the unpacked kernel when the plain table fits VMEM,
+    else the lane-packed kernel (table R=128/C times smaller — the
+    nuScenes 120k-voxel stages) at the swept tile (_conv_tile).
+
+    The packed kernel won the ISOLATED honest tile sweep at every
+    SUN RGB-D stage shape (measurements/r5_tpu_part3.log), but
+    switching the in-model dispatch to it measured 51.6 ms/scene e2e
+    vs 30.2 unpacked (measurements/r5_conv_ab.log) — the e2e program
+    is the decider, so unpacked stays wherever it fits.
+    ``UNI3DETR_CONV_KERNEL=packed`` forces the packed kernel for A/Bs."""
+    if _KERNEL_OVERRIDE != "packed" and _unpacked_fits(
+            features.shape[1]):
+        return _raw_unpacked(features, neighbor_idx, weights,
+                             interpret=interpret)
+    return _raw_packed(features, neighbor_idx, weights,
+                       interpret=interpret,
+                       tile=_conv_tile(features.shape[2]))
 
 
 def gather_rows_pallas(features, neighbor_idx, interpret: bool = False):
     """(B, V, C) x (B, Vout, K) -> gathered rows (B, Vout, K*C)."""
-    if _unpacked_fits(features.shape[1]):
+    if _KERNEL_OVERRIDE != "packed" and _unpacked_fits(
+            features.shape[1]):
         return _rows_unpacked(features, neighbor_idx,
                               interpret=interpret)
-    return _rows_packed(features, neighbor_idx, interpret=interpret)
+    return _rows_packed(features, neighbor_idx, interpret=interpret,
+                        tile=_conv_tile(features.shape[2]))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
