@@ -236,11 +236,23 @@ def main():
         s_voxelize, points,
         perturb=lambda a, out, i: (a[0] + leaf0(out).astype(jnp.float32
                                                             ).sum() * 1e-9,))
+    # IMPORTANT: every argument must be data-dependently perturbed (even
+    # by a provably-impossible no-op select) — a loop-invariant coords/
+    # vmask lets XLA hoist the ENTIRE site machinery (rulebook matchers,
+    # downsamples) out of the timed scan, undercounting it N_ITERS-fold
+    # (found round 5: the e2e bench exceeded the stage sum by exactly
+    # the hoisted machinery).
+    def chain_int(x, out_sum):
+        return jnp.where(out_sum > 1e30, x + 1, x)
+
     results["encoder_sparse"] = timed(
         s_encoder, feats, coords, vmask,
-        perturb=lambda a, out, i: ((a[0] + out[0].astype(jnp.float32).sum()
-                                    * 1e-9).astype(a[0].dtype),
-                                   a[1], a[2]))
+        perturb=lambda a, out, i: (
+            (a[0] + out[0].astype(jnp.float32).sum()
+             * 1e-9).astype(a[0].dtype),
+            chain_int(a[1], out[0].astype(jnp.float32).sum()),
+            jnp.where(out[0].astype(jnp.float32).sum() > 1e30,
+                      ~a[2], a[2])))
     results["backbone_neck"] = timed(
         s_dense, volume,
         perturb=lambda a, out, i: ((a[0] + out.astype(jnp.float32).sum()
@@ -255,12 +267,15 @@ def main():
         # discard-perturb let XLA delete the whole stage)
         perturb=lambda a, out, i: (
             jnp.where(leaf0(out).astype(jnp.float32).sum() > 1e30,
-                      a[0] + 1, a[0]), a[1]))
+                      a[0] + 1, a[0]),
+            jnp.where(leaf0(out).astype(jnp.float32).sum() > 1e30,
+                      ~a[1], a[1])))
     results["head"] = timed(
         s_head, fused, fpsb,
         perturb=lambda a, out, i: (
             (a[0] + leaf0(out).astype(jnp.float32).sum() * 1e-9
-             ).astype(a[0].dtype), a[1]))
+             ).astype(a[0].dtype),
+            a[1] + leaf0(out).astype(jnp.float32).sum() * 1e-9))
     def perturb_outs(a, out, i):
         d = out[1].astype(jnp.float32).sum() * 1e-9
         return (jax.tree_util.tree_map(
@@ -285,6 +300,31 @@ def main():
         perturb=lambda a, out, i: (
             a[0] + jnp.nan_to_num(out[1].astype(jnp.float32)).sum()
             * 1e-9,))
+
+    # bench-parity scene: fresh clustered cloud generated ON DEVICE each
+    # iteration (bench.py::make_xyz) + the full forward — isolates the
+    # bench's input-generation cost from the model (full_model row).
+    def s_scene(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(9), seed)
+        K = 24
+        kc, ka, kn, kq = jax.random.split(key, 4)
+        centers = lo + span * (0.1 + 0.8 * jax.random.uniform(
+            kc, (B, K, 3)))
+        assign = jax.random.randint(ka, (B, P), 0, K)
+        offs = jax.random.normal(kn, (B, P, 3)) * span * 0.02
+        axis = jax.random.randint(kq, (B, K), 0, 3)
+        squash = 1.0 - 0.95 * jax.nn.one_hot(axis, 3)
+        pts = jnp.clip(
+            jnp.take_along_axis(centers, assign[..., None], 1)
+            + offs * jnp.take_along_axis(squash, assign[..., None], 1),
+            lo + 1e-4, lo + span - 1e-3)
+        return s_full(pts)
+
+    results["bench_scene"] = timed(
+        s_scene, jnp.int32(0),
+        perturb=lambda a, out, i: (
+            a[0] + 1 + (jnp.nan_to_num(out[1].astype(jnp.float32)).sum()
+                        > 1e30).astype(jnp.int32),))
 
     costs = {
         "voxelize": stage_cost(s_voxelize, points),
