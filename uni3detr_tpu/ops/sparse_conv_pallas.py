@@ -57,22 +57,20 @@ WIN = 512      # packed window rows per pass (multiple of 128)
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
 
 
-_WALK_GROUP = int(__import__("os").environ.get("UNI3DETR_WALK_GROUP", "1"))
+_WALK_GROUP = int(__import__("os").environ.get("UNI3DETR_WALK_GROUP", "9"))
 
 
 def _group_size(K: int) -> int:
     """Offsets walked per window scan in the POSITIONAL kernels
-    (UNI3DETR_WALK_GROUP; 1 = per-offset walk). Grouping a dz plane's 9
-    offsets into one walk (exact per-group trip bounds, so always
-    correct) was hypothesized to amortize per-pass overhead, but
-    MEASURED SLOWER on a v5e at the production shapes — per-pass cost
-    is the one-hot + matmul element work, which grouping only
-    reshuffles, while the bigger unrolled body adds register pressure
-    (positional packed conv at V=40k C=16: 2.18 ms per-offset, 3.27 ms
-    group=3, 4.59 ms group=9; unpacked 1.86 / 2.01 / 2.35 — matching
-    the earlier same-direction matcher experiment, see
-    match_positions). Kept as a tuning knob with the losing default
-    documented so the experiment is not re-run blind."""
+    (UNI3DETR_WALK_GROUP; default 9 = one walk per dz-plane of a 3^3
+    kernel). Grouping amortizes the per-pass fixed cost (window
+    dynamic-slice + loop + scalar reads) across the group's offsets;
+    trip bounds stay exact (per-group min/max). An earlier experiment
+    "measured" grouping slower, but that harness relied on
+    block_until_ready, which does not wait on the axon remote-TPU
+    runtime — the honest e2e A/B (host-fetch bench.py,
+    measurements/r5_conv_ab2.log) reads SUN RGB-D 30.18 ms/scene at
+    GS=1, 27.59 at GS=3, 26.86 at GS=9."""
     return _WALK_GROUP if K % _WALK_GROUP == 0 else 1
 
 
