@@ -294,13 +294,29 @@ def downsample_sites_dense(coords, mask, grid, padding: Sequence[int],
     return oc, valid, out_grid
 
 
+_DOWNSAMPLE = __import__("os").environ.get("UNI3DETR_DOWNSAMPLE", "")
+
+
 def downsample_sites_auto(coords, mask, grid, padding: Sequence[int],
                           out_budget: int, stride: int = 2,
                           kernel: int = 3):
-    """Backend dispatch: dense-maxpool route on accelerators, candidate
-    sort on CPU (dense grids are large relative to CPU caches; the two
-    are equivalence-tested in tests/test_sparse_conv.py)."""
-    if jax.default_backend() not in ("cpu",):
+    """Backend dispatch: dense-maxpool route on accelerators when the
+    grid is not huge relative to the site count (its pool + compaction
+    scale with CELLS, the candidate sort with 8V — SUN RGB-D's 13M-cell
+    grid at V=40k wins big on dense, KITTI's 92M-cell grid does not);
+    candidate sort on CPU. Equivalence-tested in
+    tests/test_sparse_conv.py; ``UNI3DETR_DOWNSAMPLE=sort|dense``
+    forces a route for A/Bs."""
+    cells = 1
+    for g in grid:
+        cells *= int(g)
+    use_dense = (jax.default_backend() not in ("cpu",)
+                 and cells <= 1024 * coords.shape[0])
+    if _DOWNSAMPLE == "dense":
+        use_dense = True
+    elif _DOWNSAMPLE == "sort":
+        use_dense = False
+    if use_dense:
         return downsample_sites_dense(coords, mask, grid, padding,
                                       out_budget, stride, kernel)
     return downsample_sites(coords, mask, grid, padding, out_budget,
