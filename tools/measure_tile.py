@@ -47,8 +47,10 @@ def main(V=120000, C=16, n_iters=20):
 
     import functools
 
+    tiles = tuple(int(t) for t in os.environ.get(
+        "UNI3DETR_TILE_SWEEP", "256,512,1024").split(","))
     ref = None
-    for tile in (512, 1024, 2048):
+    for tile in tiles:
         scp.TILE = tile
         scp._raw_packed.clear_cache()
 

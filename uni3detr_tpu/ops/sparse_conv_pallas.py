@@ -1218,17 +1218,22 @@ gather_conv_ids.defvjp(_ids_fwd, _ids_bwd)
 _KERNEL_OVERRIDE = __import__("os").environ.get("UNI3DETR_CONV_KERNEL", "")
 
 
-def _conv_tile(C: int) -> int:
+def _conv_tile(C: int, V: int | None = None) -> int:
     """Production tile for the lane-packed positional kernels.
 
-    Honest host-fetch tile sweep at the SUN RGB-D stage shapes with
-    clustered ids (measurements/r5_tpu_part3.log, TPU v5e): packed
-    T=256 wins at C=16 (1.16 ms vs 2.62 unpacked-512 at V=40k) —
-    R=8 keeps the walk window at the 128-lane floor so T=256 halves
-    the one-hot area without raising the pass count bound; T=512 wins
-    at C>=32 (1.46 vs 2.12 at V=28k/C32, 0.35 vs 0.93 at V=12k/C64).
+    Honest host-fetch tile sweeps with clustered ids
+    (measurements/r5_tpu_part3.log + r5_final.log, TPU v5e): packed
+    T=256 wins at C=16 for small-V stages (1.16 ms vs 3.58 @T=512 at
+    V=40k) — R=8 keeps the walk window at the 128-lane floor so T=256
+    halves the one-hot area; at the nuScenes V=120k scale the pass
+    count dominates instead and T=512 wins (10.40 vs 11.84 @256,
+    14.41 @1024). T=512 at C>=32 (1.46 vs 2.12 at V=28k/C32).
     """
-    return 256 if _cpad(C) <= 16 else 512
+    if _cpad(C) <= 16:
+        return 256 if (V is None or V <= 65536) else 512
+    if V is not None and V > 65536:
+        return 1024  # 5.02 vs 5.59 @512 at V=108k/C32
+    return 512
 
 
 def _gather_conv_pallas_raw(features, neighbor_idx, weights,
@@ -1249,7 +1254,7 @@ def _gather_conv_pallas_raw(features, neighbor_idx, weights,
                              interpret=interpret)
     return _raw_packed(features, neighbor_idx, weights,
                        interpret=interpret,
-                       tile=_conv_tile(features.shape[2]))
+                       tile=_conv_tile(features.shape[2], features.shape[1]))
 
 
 def gather_rows_pallas(features, neighbor_idx, interpret: bool = False):
@@ -1259,7 +1264,7 @@ def gather_rows_pallas(features, neighbor_idx, interpret: bool = False):
         return _rows_unpacked(features, neighbor_idx,
                               interpret=interpret)
     return _rows_packed(features, neighbor_idx, interpret=interpret,
-                        tile=_conv_tile(features.shape[2]))
+                        tile=_conv_tile(features.shape[2], features.shape[1]))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
