@@ -1236,6 +1236,16 @@ def _conv_tile(C: int, V: int | None = None) -> int:
     return 512
 
 
+def _unpacked_tile(C: int):
+    """(tile, win) for the unpacked kernel at GS=9: T=256/W=512 at C=16
+    measured 1.406 ms vs 1.863 for the T=W=512 default at the SUN RGB-D
+    stage-1 shape (V=40k, honest harness, tools/measure_unpacked_win.py);
+    C>=32 keeps the default (unswept)."""
+    if _cpad(C) <= 16:
+        return 256, 512
+    return None, None
+
+
 def _gather_conv_pallas_raw(features, neighbor_idx, weights,
                             interpret: bool = False):
     """Dispatch: the unpacked kernel when the plain table fits VMEM,
@@ -1250,8 +1260,9 @@ def _gather_conv_pallas_raw(features, neighbor_idx, weights,
     ``UNI3DETR_CONV_KERNEL=packed`` forces the packed kernel for A/Bs."""
     if _KERNEL_OVERRIDE != "packed" and _unpacked_fits(
             features.shape[1]):
+        t, wn = _unpacked_tile(features.shape[2])
         return _raw_unpacked(features, neighbor_idx, weights,
-                             interpret=interpret)
+                             interpret=interpret, tile=t, win=wn)
     return _raw_packed(features, neighbor_idx, weights,
                        interpret=interpret,
                        tile=_conv_tile(features.shape[2], features.shape[1]))
